@@ -1,0 +1,105 @@
+"""Buffer / erosion / morphological opening+closing via boundary capsules.
+
+dilate(P, d)  = P ∪ capsules(boundary(P), d)
+erode(P, d)   = P \\ capsules(boundary(P), d)
+open(P, d)    = dilate(erode(P, d), d)      — drops slivers thinner than 2d
+close(P, d)   = erode(dilate(P, d), d)      — fills gaps thinner than 2d
+
+where capsules(boundary, d) is the union of one rectangle per boundary
+segment (width 2d) and one regular N-gon disk per vertex — the Minkowski
+sum of the boundary with a discretized disk. Round joins mirror the
+reference's buffer (10 arc segments per quarter circle,
+plugin/brdrq/brdrq_utils.py:1569-1590); we default to 8 segments per
+quarter (32 per full circle).
+
+The brdr relevance test — is ``buffer(intersection, -rd/2)`` empty? —
+(observable contract, docs/autocorrectborders.md:80-84) maps to
+``erode_area(I, rd/2) > 0``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from brdrq_spark.geom.clip import area_of_op, boolean_op, _trapezoids, trapezoid_area
+
+
+def _disk(cx: float, cy: float, d: float, nseg: int) -> np.ndarray:
+    ang = np.linspace(0.0, 2.0 * np.pi, nseg, endpoint=False)
+    return np.column_stack([cx + d * np.cos(ang), cy + d * np.sin(ang)])
+
+
+def boundary_capsules(
+    rings: list[np.ndarray], d: float, nseg: int = 32
+) -> list[np.ndarray]:
+    """CCW rings whose union is the d-neighborhood of the ring boundary."""
+    caps: list[np.ndarray] = []
+    if d <= 0:
+        return caps
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        n = len(r)
+        if n < 2:
+            continue
+        r2 = np.roll(r, -1, axis=0)
+        dx = r2[:, 0] - r[:, 0]
+        dy = r2[:, 1] - r[:, 1]
+        ln = np.hypot(dx, dy)
+        for i in range(n):
+            if ln[i] > 0:
+                nx = -dy[i] / ln[i] * d
+                ny = dx[i] / ln[i] * d
+                rect = np.array(
+                    [
+                        [r[i, 0] + nx, r[i, 1] + ny],
+                        [r2[i, 0] + nx, r2[i, 1] + ny],
+                        [r2[i, 0] - nx, r2[i, 1] - ny],
+                        [r[i, 0] - nx, r[i, 1] - ny],
+                    ]
+                )
+                # ensure CCW
+                caps.append(rect if _ccw(rect) else rect[::-1])
+            caps.append(_disk(r[i, 0], r[i, 1], d, nseg))
+    return caps
+
+
+def _ccw(ring: np.ndarray) -> bool:
+    x, y = ring[:, 0], ring[:, 1]
+    return (np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) > 0
+
+
+def buffer_rings(
+    rings: list[np.ndarray], d: float, nseg: int = 32
+) -> list[np.ndarray]:
+    """Positive (dilate) or negative (erode) buffer; d=0 normalizes."""
+    if not rings:
+        return []
+    if d > 0:
+        return boolean_op(rings, boundary_capsules(rings, d, nseg), "union")
+    if d < 0:
+        return erode_rings(rings, -d, nseg)
+    return boolean_op(rings, [], "union")
+
+
+def erode_rings(
+    rings: list[np.ndarray], d: float, nseg: int = 32
+) -> list[np.ndarray]:
+    if not rings or d <= 0:
+        return boolean_op(rings, [], "union") if rings else []
+    return boolean_op(rings, boundary_capsules(rings, d, nseg), "difference")
+
+
+def erode_area(rings: list[np.ndarray], d: float, nseg: int = 16) -> float:
+    """Area surviving erosion by d — the brdr relevance test, without
+    boundary extraction (fast path)."""
+    if not rings:
+        return 0.0
+    return area_of_op(rings, boundary_capsules(rings, d, nseg), "difference")
+
+
+def open_rings(rings: list[np.ndarray], d: float, nseg: int = 32) -> list[np.ndarray]:
+    return buffer_rings(erode_rings(rings, d, nseg), d, nseg)
+
+
+def close_rings(rings: list[np.ndarray], d: float, nseg: int = 32) -> list[np.ndarray]:
+    return erode_rings(buffer_rings(rings, d, nseg), d, nseg)

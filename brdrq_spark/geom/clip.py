@@ -1,0 +1,347 @@
+"""Polygon boolean operations via snap-rounded scanbeam trapezoidation.
+
+Classic Vatti-style approach (public literature: Vatti 1992, "A generic
+solution to polygon clipping"; also the scanbeam structure used by the
+Clipper library): split the plane into horizontal *scanbeams* bounded by
+every vertex y and every edge-intersection y; inside a beam, active edges
+are non-crossing straight lines, so sorting them by x and accumulating
+winding numbers per operand yields the exact inside/outside structure.
+Trapezoids of the result are emitted per beam; the merged boundary is
+re-extracted by cancelling interior horizontal intervals and chaining the
+remaining directed segments into rings.
+
+Replaces GEOS `intersection/union/difference/symmetric_difference` that
+the reference uses via brdr/Shapely (observable contract: ProcessResult
+slots, plugin/brdrq/brdrq_utils.py:1144-1162). `normalize` replaces
+`make_valid` (plugin/brdrq/brdrq_utils.py:448-479).
+
+Robustness: all inputs snapped to the 1e-6 m grid (SNAP); intersection
+event ys snapped too. Residual slivers are O(SNAP), far below the
+engine's correction_distance (0.01 m).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from brdrq_spark.geom.core import SNAP, ring_area, snap_ring
+
+_INV_SNAP = 1.0 / SNAP
+# rings / trapezoids below this area are numerical noise — drop
+_MIN_AREA = SNAP * SNAP * 100.0
+# junction weld tolerance in snap units (1e-4 m): crossing-event snap
+# residue is a few units; real vertices are >> 1e-4 m apart
+_WELD = 100
+
+_OPS = {
+    "union": lambda a, b: a | b,
+    "intersection": lambda a, b: a & b,
+    "difference": lambda a, b: a & ~b,
+    "symdiff": lambda a, b: a ^ b,
+}
+
+
+def _collect_edges(rings: list[np.ndarray], tag: int, xs, ys0, ys1, tags, dws):
+    for ring in rings:
+        r = snap_ring(ring)
+        if len(r) < 3:
+            continue
+        r2 = np.roll(r, -1, axis=0)
+        for (x0, y0), (x1, y1) in zip(r, r2):
+            if y0 == y1:
+                continue  # horizontal edges never bound a beam interior
+            xs.append((x0, y0, x1, y1))
+            ys0.append(min(y0, y1))
+            ys1.append(max(y0, y1))
+            tags.append(tag)
+            dws.append(1 if y1 > y0 else -1)
+
+
+def _intersection_ys(E: np.ndarray) -> np.ndarray:
+    """Snapped y of every proper pairwise edge crossing (O(e^2), vectorized)."""
+    n = len(E)
+    if n < 2:
+        return np.zeros(0)
+    x0 = E[:, 0]; y0 = E[:, 1]; x1 = E[:, 2]; y1 = E[:, 3]
+    dx = x1 - x0; dy = y1 - y0
+    # pairwise line intersection parameters
+    i, j = np.triu_indices(n, k=1)
+    denom = dx[i] * dy[j] - dy[i] * dx[j]
+    ok = denom != 0
+    i, j, denom = i[ok], j[ok], denom[ok]
+    wx = x0[j] - x0[i]
+    wy = y0[j] - y0[i]
+    t = (wx * dy[j] - wy * dx[j]) / denom
+    u = (wx * dy[i] - wy * dx[i]) / denom
+    hit = (t > 0) & (t < 1) & (u > 0) & (u < 1)
+    yy = y0[i][hit] + t[hit] * dy[i][hit]
+    return np.round(yy * _INV_SNAP) * SNAP
+
+
+def _trapezoids(
+    a_rings: list[np.ndarray], b_rings: list[np.ndarray], op: str
+) -> list[tuple[float, float, float, float, float, float]]:
+    """Decompose ``op(a, b)`` into trapezoids.
+
+    Returns tuples (ylo, yhi, xl_lo, xr_lo, xl_hi, xr_hi): the inside
+    region between y=ylo and y=yhi bounded left by the segment
+    (xl_lo,ylo)-(xl_hi,yhi) and right by (xr_lo,ylo)-(xr_hi,yhi).
+    """
+    fn = _OPS[op]
+    xs: list = []; ys0: list = []; ys1: list = []; tags: list = []; dws: list = []
+    _collect_edges(a_rings, 0, xs, ys0, ys1, tags, dws)
+    _collect_edges(b_rings, 1, xs, ys0, ys1, tags, dws)
+    if not xs:
+        return []
+    E = np.asarray(xs, dtype=np.float64)
+    ymin = np.asarray(ys0); ymax = np.asarray(ys1)
+    tag = np.asarray(tags); dw = np.asarray(dws)
+
+    events = np.concatenate([ymin, ymax, _intersection_ys(E)])
+    events = np.unique(events)
+
+    x0 = E[:, 0]; y0 = E[:, 1]; x1 = E[:, 2]; y1 = E[:, 3]
+    inv_dy = 1.0 / (y1 - y0)
+    traps: list[tuple[float, float, float, float, float, float]] = []
+
+    for k in range(len(events) - 1):
+        ylo = events[k]; yhi = events[k + 1]
+        act = (ymin <= ylo) & (ymax >= yhi)
+        if not act.any():
+            continue
+        idx = np.nonzero(act)[0]
+        tlo = (ylo - y0[idx]) * inv_dy[idx]
+        thi = (yhi - y0[idx]) * inv_dy[idx]
+        xlo = x0[idx] + tlo * (x1[idx] - x0[idx])
+        xhi = x0[idx] + thi * (x1[idx] - x0[idx])
+        xm = 0.5 * (xlo + xhi)
+        order = np.lexsort((xhi, xlo, xm))
+        xlo = xlo[order]; xhi = xhi[order]
+        sdw = dw[idx][order]
+        stag = tag[idx][order]
+        wa = np.cumsum(np.where(stag == 0, sdw, 0))
+        wb = np.cumsum(np.where(stag == 1, sdw, 0))
+        inside = fn(wa != 0, wb != 0)
+        m = len(inside)
+        # maximal runs of inside==True; inside[i] = region between edges i, i+1
+        starts = np.nonzero(inside & ~np.concatenate(([False], inside[:-1])))[0]
+        ends = np.nonzero(inside & ~np.concatenate((inside[1:], [False])))[0]
+        for s, e in zip(starts, ends):
+            if e + 1 >= m:
+                continue  # unbounded to the right — malformed winding, skip
+            l_lo, l_hi = xlo[s], xhi[s]
+            r_lo, r_hi = xlo[e + 1], xhi[e + 1]
+            area = 0.5 * ((r_lo - l_lo) + (r_hi - l_hi)) * (yhi - ylo)
+            # keep sliver trapezoids: dropping them would break boundary
+            # continuity at stitch time; degenerate ones filtered there.
+            if area <= 0:
+                continue
+            traps.append((ylo, yhi, l_lo, r_lo, l_hi, r_hi))
+    return traps
+
+
+def trapezoid_area(traps) -> float:
+    return sum(
+        0.5 * ((r_lo - l_lo) + (r_hi - l_hi)) * (yhi - ylo)
+        for (ylo, yhi, l_lo, r_lo, l_hi, r_hi) in traps
+    )
+
+
+def _key(x: float, y: float) -> tuple[int, int]:
+    return (int(round(x * _INV_SNAP)), int(round(y * _INV_SNAP)))
+
+
+def _stitch(traps) -> list[np.ndarray]:
+    """Merge trapezoids into orientation-encoded rings (CCW outer, CW hole)."""
+    if not traps:
+        return []
+    # --- horizontal interval cancellation per y ---------------------------
+    # bottom of a trapezoid: interior above => rightward (+1)
+    # top: interior below => leftward (-1); overlaps cancel.
+    from collections import defaultdict
+
+    deltas: dict[int, dict[int, int]] = defaultdict(lambda: defaultdict(int))
+    # directed side segments with cancellation: a segment and its exact
+    # reverse (a shared internal edge, e.g. two parcels in the same
+    # scanbeam meeting at x) annihilate, like horizontal intervals do.
+    side_count: dict[tuple[tuple[int, int], tuple[int, int]], int] = defaultdict(int)
+
+    def add_side(p, q):
+        if side_count[(q, p)] > 0:
+            side_count[(q, p)] -= 1
+        else:
+            side_count[(p, q)] += 1
+
+    for (ylo, yhi, l_lo, r_lo, l_hi, r_hi) in traps:
+        kylo = int(round(ylo * _INV_SNAP))
+        kyhi = int(round(yhi * _INV_SNAP))
+        kl_lo = int(round(l_lo * _INV_SNAP))
+        kr_lo = int(round(r_lo * _INV_SNAP))
+        kl_hi = int(round(l_hi * _INV_SNAP))
+        kr_hi = int(round(r_hi * _INV_SNAP))
+        if kl_lo == kr_lo and kl_hi == kr_hi:
+            continue  # zero width at snap resolution — nothing to bound
+        if kl_lo < kr_lo:
+            deltas[kylo][kl_lo] += 1
+            deltas[kylo][kr_lo] -= 1
+        if kl_hi < kr_hi:
+            deltas[kyhi][kl_hi] -= 1
+            deltas[kyhi][kr_hi] += 1
+        # sides: left goes down (top->bottom), right goes up (CCW interior left)
+        if (kl_hi, kyhi) != (kl_lo, kylo):
+            add_side((kl_hi, kyhi), (kl_lo, kylo))
+        if (kr_lo, kylo) != (kr_hi, kyhi):
+            add_side((kr_lo, kylo), (kr_hi, kyhi))
+
+    raw: list[tuple[tuple[int, int], tuple[int, int]]] = []
+    for (p, q), cnt in side_count.items():
+        raw.extend([(p, q)] * cnt)
+
+    for ky, dd in deltas.items():
+        xs = sorted(dd)
+        level = 0
+        prev = None
+        for x in xs:
+            if prev is not None and level != 0 and x > prev:
+                if level > 0:  # net bottom boundary -> rightward
+                    raw.append(((prev, ky), (x, ky)))
+                else:  # net top boundary -> leftward
+                    raw.append((((x), ky), ((prev), ky)))
+            level += dd[x]
+            prev = x
+
+    # --- merge near-coincident junctions ----------------------------------
+    # At a snapped crossing event the two edges evaluate to slightly
+    # different x on the beam boundary (a few SNAP units apart), leaving
+    # dangling endpoints. All endpoints sit exactly on beam ys, so merge
+    # nodes per y-row whose x differ by <= _WELD snap units.
+    nodes_by_y: dict[int, list[int]] = {}
+    for p, q in raw:
+        nodes_by_y.setdefault(p[1], []).append(p[0])
+        nodes_by_y.setdefault(q[1], []).append(q[0])
+    remap: dict[tuple[int, int], tuple[int, int]] = {}
+    for ky, xs_list in nodes_by_y.items():
+        xs_sorted = sorted(set(xs_list))
+        group_rep = xs_sorted[0] if xs_sorted else 0
+        for i, x in enumerate(xs_sorted):
+            if i > 0 and x - xs_sorted[i - 1] > _WELD:
+                group_rep = x
+            remap[(x, ky)] = (group_rep, ky)
+
+    merged: dict[tuple[tuple[int, int], tuple[int, int]], int] = defaultdict(int)
+    for p, q in raw:
+        p2, q2 = remap[p], remap[q]
+        if p2 == q2:
+            continue  # collapsed sliver
+        if merged[(q2, p2)] > 0:
+            merged[(q2, p2)] -= 1
+        else:
+            merged[(p2, q2)] += 1
+    segs: list[tuple[tuple[int, int], tuple[int, int]]] = []
+    for (p, q), cnt in merged.items():
+        segs.extend([(p, q)] * cnt)
+
+    # --- chain directed segments into rings -------------------------------
+    out_map: dict[tuple[int, int], list[int]] = defaultdict(list)
+    for si, (p, q) in enumerate(segs):
+        out_map[p].append(si)
+    used = [False] * len(segs)
+    rings: list[np.ndarray] = []
+
+    for start in range(len(segs)):
+        if used[start]:
+            continue
+        path = [segs[start][0], segs[start][1]]
+        used[start] = True
+        cur = segs[start][1]
+        prev_pt = segs[start][0]
+        guard = 0
+        while cur != path[0] and guard < len(segs) + 2:
+            guard += 1
+            cands = [i for i in out_map.get(cur, []) if not used[i]]
+            if not cands:
+                break
+            if len(cands) == 1:
+                nxt = cands[0]
+            else:
+                # leftmost turn relative to incoming direction => simple
+                # rings; never U-turn back along the incoming segment
+                # unless it is the only way out.
+                vin = (cur[0] - prev_pt[0], cur[1] - prev_pt[1])
+                fwd = [i for i in cands if segs[i][1] != prev_pt]
+                pool = fwd or cands
+                nxt = max(
+                    pool,
+                    key=lambda i: _turn_angle(vin, (segs[i][1][0] - cur[0], segs[i][1][1] - cur[1])),
+                )
+            used[nxt] = True
+            prev_pt = cur
+            cur = segs[nxt][1]
+            path.append(cur)
+        if cur == path[0] and len(path) > 3:
+            ring = np.asarray(path[:-1], dtype=np.float64) * SNAP
+            ring = _merge_collinear(ring)
+            if len(ring) >= 3 and abs(ring_area(ring)) > _MIN_AREA:
+                rings.append(ring)
+    return rings
+
+
+def _turn_angle(vin, vout) -> float:
+    """Angle of the left turn from vin to vout in (-pi, pi]; larger = more left."""
+    import math
+
+    a = math.atan2(
+        vin[0] * vout[1] - vin[1] * vout[0], vin[0] * vout[0] + vin[1] * vout[1]
+    )
+    return a
+
+
+def _merge_collinear(ring: np.ndarray) -> np.ndarray:
+    if len(ring) < 3:
+        return ring
+    keep = []
+    n = len(ring)
+    for i in range(n):
+        p = ring[(i - 1) % n]
+        q = ring[i]
+        r = ring[(i + 1) % n]
+        cross = (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
+        if abs(cross) > SNAP * SNAP * 0.25:
+            keep.append(i)
+    return ring[keep] if keep else ring[:0]
+
+
+def boolean_op(
+    a_rings: list[np.ndarray], b_rings: list[np.ndarray], op: str
+) -> list[np.ndarray]:
+    """``op(a, b)`` for op in union/intersection/difference/symdiff.
+
+    Inputs and outputs are orientation-encoded ring sets (nonzero
+    winding). Output rings are disjoint and properly nested (CCW outers,
+    CW holes), i.e. a valid multipolygon.
+    """
+    if op not in _OPS:
+        raise ValueError(f"unknown op {op!r}")
+    if not a_rings and not b_rings:
+        return []
+    if not b_rings and op in ("intersection",):
+        return []
+    if not a_rings and op in ("intersection", "difference"):
+        return []
+    traps = _trapezoids(a_rings, b_rings, op)
+    return _stitch(traps)
+
+
+def normalize(rings: list[np.ndarray]) -> list[np.ndarray]:
+    """make_valid analogue: rebuild per nonzero winding, fixing
+    self-intersections, duplicate points and bad orientations
+    (reference: plugin/brdrq/brdrq_utils.py:448-479, 1536-1547)."""
+    return boolean_op(rings, [], "union")
+
+
+def area_of_op(
+    a_rings: list[np.ndarray], b_rings: list[np.ndarray], op: str
+) -> float:
+    """Area of ``op(a, b)`` without boundary extraction (fast path for
+    erosion tests and diff-area metrics)."""
+    return trapezoid_area(_trapezoids(a_rings, b_rings, op))

@@ -1,0 +1,187 @@
+"""Unit tests for the from-scratch geometry kernel (SURVEY.md §7.1 M1).
+
+Hand-computed expectations; tolerances reflect the snap grid (1e-6 m)
+and disk discretization, all far below the engine correction_distance
+(0.01 m, reference plugin/brdrq/brdrq_algorithm_autocorrectborders.py:193).
+"""
+
+import numpy as np
+import pytest
+
+from brdrq_spark.geom import (
+    bbox,
+    bbox_distance,
+    boolean_op,
+    buffer_rings,
+    erode_rings,
+    min_distance,
+    normalize,
+    point_in_rings,
+    ring_area,
+    rings_area,
+    rings_from_wkb,
+    rings_from_wkt,
+    rings_perimeter,
+    rings_to_wkb,
+    rings_to_wkt,
+)
+from brdrq_spark.geom.buffer import erode_area
+from brdrq_spark.geom.clip import area_of_op
+
+
+def sq(x0, y0, s):
+    return np.array([[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s]], float)
+
+
+def test_shoelace_and_perimeter():
+    r = sq(0, 0, 10)
+    assert ring_area(r) == pytest.approx(100.0)
+    assert ring_area(r[::-1]) == pytest.approx(-100.0)
+    assert rings_perimeter([r]) == pytest.approx(40.0)
+
+
+def test_point_in_rings_with_hole():
+    outer = sq(0, 0, 10)
+    hole = sq(4, 4, 2)[::-1]  # CW hole
+    geom = [outer, hole]
+    pts = np.array([[1, 1], [5, 5], [11, 5], [4.5, 3.0]])
+    assert list(point_in_rings(pts, geom)) == [True, False, False, True]
+
+
+def test_intersection_of_overlapping_squares():
+    a = [sq(0, 0, 10)]
+    b = [sq(5, 5, 10)]
+    out = boolean_op(a, b, "intersection")
+    assert rings_area(out) == pytest.approx(25.0, abs=1e-6)
+    # boundary is the 5x5 square
+    assert rings_perimeter(out) == pytest.approx(20.0, abs=1e-5)
+
+
+def test_union_difference_symdiff():
+    a = [sq(0, 0, 10)]
+    b = [sq(5, 5, 10)]
+    assert rings_area(boolean_op(a, b, "union")) == pytest.approx(175.0, abs=1e-6)
+    assert rings_area(boolean_op(a, b, "difference")) == pytest.approx(75.0, abs=1e-6)
+    assert rings_area(boolean_op(a, b, "symdiff")) == pytest.approx(150.0, abs=1e-6)
+
+
+def test_disjoint_and_nested():
+    a = [sq(0, 0, 4)]
+    b = [sq(10, 10, 4)]
+    assert boolean_op(a, b, "intersection") == []
+    assert rings_area(boolean_op(a, b, "union")) == pytest.approx(32.0, abs=1e-6)
+    inner = [sq(2, 2, 2)]
+    outer = [sq(0, 0, 10)]
+    assert rings_area(boolean_op(outer, inner, "intersection")) == pytest.approx(4.0, abs=1e-6)
+    d = boolean_op(outer, inner, "difference")
+    assert rings_area(d) == pytest.approx(96.0, abs=1e-6)
+    # difference produced a hole: 2 rings, one negative
+    areas = sorted(ring_area(r) for r in d)
+    assert areas[0] == pytest.approx(-4.0, abs=1e-6)
+    assert areas[1] == pytest.approx(100.0, abs=1e-6)
+
+
+def test_shared_edge_union():
+    # cadastral-style: exact shared edge, no overlap
+    a = [sq(0, 0, 10)]
+    b = [sq(10, 0, 10)]
+    u = boolean_op(a, b, "union")
+    assert rings_area(u) == pytest.approx(200.0, abs=1e-6)
+    assert rings_perimeter(u) == pytest.approx(60.0, abs=1e-4)  # internal edge gone
+    assert rings_area(boolean_op(a, b, "intersection")) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_triangle_intersection():
+    tri = [np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])]
+    box = [sq(0, 0, 5)]
+    out = boolean_op(tri, box, "intersection")
+    # triangle cut by 5x5 box: area = 25 - 0 ... region x<=5,y<=5,x+y<=10 => 25 - 0 = 22.5? compute: box area 25 minus corner triangle above line x+y=10 clipped.. line enters box at (5,5): only point => area 25 intersect halfplane x+y<=10 => 25 - 0 = 25 - area{x+y>10 in box}=25-0=... (5,5) on line so 25.
+    # Actually x+y <= 10 contains the whole 5x5 box (max 10 on corner)
+    assert rings_area(out) == pytest.approx(25.0, abs=1e-5)
+    box2 = [sq(2, 2, 10)]
+    out2 = boolean_op(tri, box2, "intersection")
+    # region: x>=2, y>=2, x+y<=10 → triangle with legs 6 → area 18
+    assert rings_area(out2) == pytest.approx(18.0, abs=1e-5)
+
+
+def test_normalize_self_intersecting_bowtie():
+    bow = [np.array([[0.0, 0.0], [10.0, 10.0], [10.0, 0.0], [0.0, 10.0]])]
+    out = normalize(bow)
+    # nonzero winding keeps both lobes: two triangles, each area 25
+    assert rings_area(out) == pytest.approx(50.0, abs=1e-4)
+    assert len(out) == 2
+
+
+def test_multi_ring_union_many():
+    tiles = [sq(i * 2.0, 0.0, 2.0) for i in range(5)]
+    u = boolean_op(tiles, [], "union")
+    assert rings_area(u) == pytest.approx(20.0, abs=1e-6)
+    assert rings_perimeter(u) == pytest.approx(24.0, abs=1e-4)
+
+
+def test_buffer_square_area():
+    a = [sq(0, 0, 10)]
+    out = buffer_rings(a, 1.0)
+    # exact = 100 + 4*10*1 + pi*1^2; k-gon disks slightly under pi
+    expect = 100 + 40 + np.pi
+    assert rings_area(out) == pytest.approx(expect, rel=0.01)
+
+
+def test_erode_square():
+    a = [sq(0, 0, 10)]
+    out = erode_rings(a, 1.0)
+    assert rings_area(out) == pytest.approx(64.0, abs=0.2)  # 8x8
+    # erosion kills thin slivers entirely
+    sliver = [np.array([[0, 0], [100, 0], [100, 0.5], [0, 0.5]], float)]
+    assert erode_area(sliver, 1.0) == pytest.approx(0.0, abs=1e-6)
+    assert erode_area(a, 1.0) > 50
+
+
+def test_area_of_op_matches_boolean_op():
+    a = [sq(0, 0, 10)]
+    b = [sq(3, -2, 9)]
+    for op in ("union", "intersection", "difference", "symdiff"):
+        assert area_of_op(a, b, op) == pytest.approx(
+            rings_area(boolean_op(a, b, op)), abs=1e-6
+        )
+
+
+def test_wkb_roundtrip():
+    geom = [sq(0, 0, 10), sq(4, 4, 2)[::-1]]  # square with hole
+    wkb = rings_to_wkb(geom)
+    back = rings_from_wkb(wkb)
+    assert rings_area(back) == pytest.approx(96.0, abs=1e-6)
+    assert len(back) == 2
+    # empty
+    assert rings_from_wkb(rings_to_wkb([])) == []
+
+
+def test_wkt_roundtrip():
+    wkt = "MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 4 6, 6 6, 6 4, 4 4)))"
+    rings = rings_from_wkt(wkt)
+    assert rings_area(rings) == pytest.approx(96.0, abs=1e-6)
+    again = rings_from_wkt(rings_to_wkt(rings))
+    assert rings_area(again) == pytest.approx(96.0, abs=1e-6)
+    # POLYGON form
+    assert rings_area(rings_from_wkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")) == pytest.approx(4.0)
+
+
+def test_min_distance_and_bbox():
+    a = [sq(0, 0, 2)]
+    b = [sq(5, 0, 2)]
+    assert min_distance(a, b) == pytest.approx(3.0, abs=1e-9)
+    assert min_distance(a, [sq(1, 1, 5)]) == 0.0
+    assert min_distance(a, [sq(0.5, 0.5, 1)]) == 0.0  # containment
+    bb = bbox(a)
+    assert bb == (0.0, 0.0, 2.0, 2.0)
+    assert bbox_distance(bb, bbox(b)) == pytest.approx(3.0)
+
+
+def test_degenerate_inputs():
+    # collinear + duplicate points survive normalize
+    messy = [np.array([[0, 0], [5, 0], [10, 0], [10, 10], [10, 10], [0, 10]], float)]
+    out = normalize(messy)
+    assert rings_area(out) == pytest.approx(100.0, abs=1e-6)
+    # zero-area ring vanishes
+    flat = [np.array([[0, 0], [10, 0], [5, 0]], float)]
+    assert normalize(flat) == []

@@ -1,0 +1,48 @@
+"""Property-based consistency checks on the boolean engine.
+
+Invariants that hold for any pair of polygons:
+  area(A∩B) + area(A\\B) = area(A)
+  area(A∪B) = area(A) + area(B) - area(A∩B)
+  area(AΔB) = area(A∪B) - area(A∩B)
+Run over seeded random star-shaped polygons (degeneracy-rich: snapped
+coords, occasional shared edges).
+"""
+
+import numpy as np
+import pytest
+
+from brdrq_spark.geom import boolean_op, normalize, rings_area
+from brdrq_spark.geom.clip import area_of_op
+
+
+def star_poly(rng, cx, cy, rmin, rmax, n):
+    ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+    rad = rng.uniform(rmin, rmax, n)
+    pts = np.column_stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)])
+    return np.round(pts, 2)  # coarse coords => exact-touch degeneracies
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_boolean_area_identities(seed):
+    rng = np.random.default_rng(seed)
+    a = normalize([star_poly(rng, 0, 0, 2, 8, rng.integers(5, 40))])
+    b = normalize(
+        [star_poly(rng, rng.uniform(-4, 4), rng.uniform(-4, 4), 2, 8, rng.integers(5, 40))]
+    )
+    area_a = rings_area(a)
+    area_b = rings_area(b)
+    inter = area_of_op(a, b, "intersection")
+    diff = area_of_op(a, b, "difference")
+    union = area_of_op(a, b, "union")
+    sym = area_of_op(a, b, "symdiff")
+    tol = 1e-5 * max(1.0, area_a + area_b)
+    assert inter + diff == pytest.approx(area_a, abs=tol)
+    assert union == pytest.approx(area_a + area_b - inter, abs=tol)
+    assert sym == pytest.approx(union - inter, abs=tol)
+    # stitched boundary agrees with the trapezoid area
+    for op in ("intersection", "union", "difference", "symdiff"):
+        stitched = boolean_op(a, b, op)
+        assert rings_area(stitched) == pytest.approx(area_of_op(a, b, op), abs=tol)
+    # idempotence of normalize on clean output
+    u = boolean_op(a, b, "union")
+    assert rings_area(normalize(u)) == pytest.approx(union, abs=tol)
