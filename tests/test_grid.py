@@ -1,0 +1,79 @@
+"""Bit-for-bit tests of the Morton cell index (SURVEY.md §7.1 M2)."""
+
+import numpy as np
+import pytest
+
+from brdrq_spark.grid import (
+    cell_bounds,
+    cell_cover_bbox,
+    cell_id,
+    cell_of_points,
+    cell_size,
+    morton2,
+    pick_resolution,
+)
+
+
+def naive_morton(ix: int, iy: int) -> int:
+    out = 0
+    for b in range(29):
+        out |= ((ix >> b) & 1) << (2 * b)
+        out |= ((iy >> b) & 1) << (2 * b + 1)
+    return out
+
+
+def test_morton_matches_naive():
+    rng = np.random.default_rng(7)
+    ix = rng.integers(0, 2**23, 200).astype(np.uint64)
+    iy = rng.integers(0, 2**23, 200).astype(np.uint64)
+    fast = morton2(ix, iy)
+    for a, b, m in zip(ix, iy, fast):
+        assert naive_morton(int(a), int(b)) == int(m)
+
+
+def test_cell_id_is_res_disjoint_and_sortable():
+    ids_r5 = cell_id(np.array([1, 2]), np.array([3, 4]), 5)
+    ids_r6 = cell_id(np.array([1, 2]), np.array([3, 4]), 6)
+    assert len(set(ids_r5) & set(ids_r6)) == 0
+    assert all(i > 0 for i in ids_r5)  # res in high bits keeps int64 positive
+
+
+def test_cell_of_points_and_bounds_roundtrip():
+    xs = np.array([0.0, 100.5, -2000.25, 174158.0])
+    ys = np.array([0.0, -100.5, 31337.0, 179374.0])
+    for res in (0, 7, 12, 15):
+        cids = cell_of_points(xs, ys, res)
+        for x, y, cid in zip(xs, ys, cids):
+            minx, miny, maxx, maxy = cell_bounds(int(cid))
+            assert minx <= x < maxx
+            assert miny <= y < maxy
+            assert maxx - minx == pytest.approx(cell_size(res))
+
+
+def test_cover_bbox_counts_and_determinism():
+    res = 10  # 32 m cells
+    cover = cell_cover_bbox(0.0, 0.0, 100.0, 100.0, res)
+    # 100m span crosses ceil boundaries: 4x4 = 16 cells starting at 0
+    assert len(cover) == 16
+    assert list(cover) == sorted(cover)
+    again = cell_cover_bbox(0.0, 0.0, 100.0, 100.0, res)
+    assert np.array_equal(cover, again)
+    # dilation adds a ring
+    dil = cell_cover_bbox(0.0, 0.0, 100.0, 100.0, res, dilate=32.0)
+    assert len(dil) == 36
+    assert set(cover) <= set(dil)
+
+
+def test_point_cell_membership_in_cover():
+    res = 9
+    cover = set(cell_cover_bbox(500.0, 600.0, 700.0, 800.0, res))
+    pts_x = np.linspace(500, 699.9, 13)
+    pts_y = np.linspace(600, 799.9, 13)
+    assert set(cell_of_points(pts_x, pts_y, res)) <= cover
+
+
+def test_pick_resolution_monotone():
+    rs = [pick_resolution(rd) for rd in (0.1, 1, 2, 5, 10, 50, 200)]
+    assert rs == sorted(rs, reverse=True)
+    assert cell_size(pick_resolution(2.0)) >= 4 * 2.0
+    assert 0 <= min(rs) and max(rs) <= 15
