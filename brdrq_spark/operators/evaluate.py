@@ -1,0 +1,141 @@
+"""Prediction sweep over a relevant-distance grid + stability scoring
+(reference: ``aligner.evaluate(relevant_distances, max_predictions, ...)``,
+plugin/brdrq/brdrq_algorithm_autocorrectborders.py:626-646; grid
+``np.arange(0, rd*100, 10)/100`` ibid.:627-629; interactive variant
+plugin/brdrq/brdrq_dockwidget_featurealigner.py:1676-1680).
+
+Stability semantics pinned here (brdr-internal in the reference; the
+observable contract is the cheatsheet's "prediction = rd where the result
+stays constant across consecutive steps, score grows with the stable
+span" — SURVEY.md §2.6 W1):
+
+* one align pass computes the whole grid (intersections hoisted in the
+  kernel), producing (theme_id, rd) rows;
+* a row is *stable* when its sym-diff-area index changed less than
+  ``eps`` vs the previous grid step (lag window);
+* gaps-and-islands (cumsum of change flags) yields stable runs; a run of
+  length >= ``min_stable`` is a *prediction*, represented by its first
+  (cheapest) rd; ``brdr_prediction_score`` = run length;
+* ``brdr_evaluation`` labels follow the reference enum
+  (docs/autocorrectborders.md:209, read at brdrq_utils.py:1259-1271).
+
+Everything after the align pass is pure Spark window algebra — no UDFs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from brdrq_spark.operators.align import AlignConfig, align
+
+# PredictionStrategy (reference brdrq_algorithm_common.py:123-130)
+STRATEGY_ALL = "ALL"
+STRATEGY_BEST = "BEST"
+STRATEGY_ORIGINAL = "ORIGINAL"
+
+
+def distance_grid(max_rd: float, step: float = 0.1) -> list[float]:
+    """The reference's prediction grid: 0 .. max_rd in `step` meters
+    (brdrq_algorithm_autocorrectborders.py:627-629; interactive step
+    coarsening 10/20/50 cm per brdrq_settings.py:70-73)."""
+    cents = np.arange(0.0, max_rd * 100.0 + step * 100.0, step * 100.0)
+    return [round(float(c) / 100.0, 2) for c in cents]
+
+
+def add_stability(
+    aligned: DataFrame, eps: float = 1e-3, min_stable: int = 2
+) -> DataFrame:
+    """Attach brdr_stability / brdr_prediction_score / brdr_prediction_count
+    / is_prediction / brdr_evaluation to an align-grid output."""
+    w = Window.partitionBy("theme_id").orderBy("brdr_relevant_distance")
+    delta = F.abs(
+        F.col("brdr_sym_diff_area_index")
+        - F.lag("brdr_sym_diff_area_index").over(w)
+    )
+    changed = F.when(delta.isNull() | (delta > eps), 1).otherwise(0)
+    df = aligned.withColumn("_chg", changed).withColumn(
+        "_run", F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    wrun = Window.partitionBy("theme_id", "_run")
+    wrun_ord = wrun.orderBy("brdr_relevant_distance")
+    df = (
+        df.withColumn("_run_len", F.count("*").over(wrun))
+        .withColumn("_rn_in_run", F.row_number().over(wrun_ord))
+        .withColumn("brdr_stability", F.col("_run_len") >= min_stable)
+        .withColumn(
+            "is_prediction",
+            (F.col("_rn_in_run") == 1) & (F.col("_run_len") >= min_stable),
+        )
+        .withColumn(
+            "brdr_prediction_score",
+            F.when(F.col("brdr_stability"), F.col("_run_len").cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+    )
+    wt = Window.partitionBy("theme_id")
+    df = df.withColumn(
+        "brdr_prediction_count",
+        F.sum(F.col("is_prediction").cast("int")).over(wt).cast("int"),
+    )
+    df = df.withColumn(
+        "brdr_evaluation",
+        F.when(
+            F.col("is_prediction") & (F.col("brdr_sym_diff_area_index") < 1e-9),
+            F.lit("no_change"),
+        )
+        .when(
+            F.col("is_prediction") & (F.col("brdr_prediction_count") == 1),
+            F.lit("prediction_unique"),
+        )
+        .when(
+            F.col("is_prediction") & (F.col("brdr_prediction_count") > 1),
+            F.lit("to_check_prediction_multi"),
+        )
+        .otherwise(F.lit("not_evaluated")),
+    )
+    return df.drop("_chg", "_run", "_rn_in_run", "_run_len")
+
+
+def evaluate(
+    spark: SparkSession,
+    theme_df: DataFrame,
+    ref_df: DataFrame,
+    max_rd: float = 5.0,
+    step: float = 0.1,
+    config: AlignConfig | None = None,
+    max_predictions: int = -1,
+    prediction_strategy: str = STRATEGY_ALL,
+    eps: float = 1e-3,
+    min_stable: int = 2,
+    broadcast_ref: bool | None = None,
+) -> DataFrame:
+    """Full prediction sweep: align over the grid, score stability, keep
+    predictions per strategy (ALL / BEST / ORIGINAL) and max_predictions
+    (reference: max_predictions=4 interactive, -1 bulk —
+    brdrq_dockwidget_featurealigner.py:1677, brdrq_dockwidget_bulkaligner.py:236)."""
+    cfg = config or AlignConfig()
+    cfg.relevant_distances = distance_grid(max_rd, step)
+    aligned = align(spark, theme_df, ref_df, cfg, broadcast_ref=broadcast_ref)
+    scored = add_stability(aligned, eps=eps, min_stable=min_stable)
+
+    preds = scored.filter(F.col("is_prediction"))
+    wbest = Window.partitionBy("theme_id").orderBy(
+        F.desc("brdr_prediction_score"), F.asc("brdr_relevant_distance")
+    )
+    preds = preds.withColumn("_rank", F.row_number().over(wbest))
+    if prediction_strategy == STRATEGY_BEST:
+        preds = preds.filter(F.col("_rank") == 1)
+    elif max_predictions and max_predictions > 0:
+        preds = preds.filter(F.col("_rank") <= max_predictions)
+    if prediction_strategy == STRATEGY_ORIGINAL:
+        # keep source geometry when several predictions compete
+        preds = preds.withColumn(
+            "result_wkb",
+            F.when(F.col("brdr_prediction_count") > 1, F.lit(None).cast("binary")).otherwise(
+                F.col("result_wkb")
+            ),
+        )
+    return preds.drop("_rank")

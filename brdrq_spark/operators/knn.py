@@ -1,0 +1,108 @@
+"""kNN nearest-boundary-segment search (J6 — mandated by the north_star:
+"point-in-polygon and kNN-nearest-boundary-segment refinement").
+
+For every vertex of a thematic footprint, find the k nearest reference
+boundary segments. Execution shape: the cell-join candidate pairs bound
+the search (a vertex's nearest segments lie on candidate parcels within
+the dilated cover by construction), then a grouped pandas kernel does
+the exact vectorized point-segment distances — a per-partition index
+without any cross-partition traffic. Vertices with no candidates within
+the radius report rank 0 rows (caller can widen rd and retry — the
+expanding-ring pattern).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from brdrq_spark.geom import rings_from_wkb
+from brdrq_spark.geom.core import _edges, _seg_point_dist2
+from brdrq_spark.operators.candidates import candidate_pairs
+
+KNN_SCHEMA = T.StructType(
+    [
+        T.StructField("theme_id", T.StringType()),
+        T.StructField("vertex_idx", T.IntegerType()),
+        T.StructField("vx", T.DoubleType()),
+        T.StructField("vy", T.DoubleType()),
+        T.StructField("ref_id", T.StringType()),
+        T.StructField("seg_idx", T.IntegerType()),
+        T.StructField("dist", T.DoubleType()),
+        T.StructField("rank", T.IntegerType()),
+    ]
+)
+
+
+def knn_boundary_segments(
+    spark: SparkSession,
+    theme_df: DataFrame,
+    ref_df: DataFrame,
+    k: int = 3,
+    search_radius: float = 10.0,
+) -> DataFrame:
+    """One row per (theme vertex, neighbor segment), rank 1..k by
+    distance (ties broken by ref_id, seg_idx — deterministic)."""
+    pairs = candidate_pairs(theme_df, ref_df, max_rd=search_radius / 2.0)
+    t = theme_df.select("theme_id", F.col("geom_wkb").alias("theme_wkb"))
+    r = ref_df.select("ref_id", F.col("geom_wkb").alias("ref_wkb"))
+    grouped = (
+        t.join(pairs, "theme_id", "left")
+        .join(r, "ref_id", "left")
+        .select("theme_id", "theme_wkb", "ref_id", "ref_wkb")
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        theme_id = pdf["theme_id"].iloc[0]
+        rings = rings_from_wkb(pdf["theme_wkb"].iloc[0])
+        if not rings:
+            return pd.DataFrame(columns=[f.name for f in KNN_SCHEMA.fields])
+        verts = np.vstack(rings)
+        segs = []
+        seg_ref = []
+        seg_idx = []
+        for rid, rwkb in zip(pdf["ref_id"], pdf["ref_wkb"]):
+            if rwkb is None:
+                continue
+            e = _edges(rings_from_wkb(rwkb))
+            segs.append(e)
+            seg_ref.extend([rid] * len(e))
+            seg_idx.extend(range(len(e)))
+        out_rows = []
+        if segs:
+            E = np.vstack(segs)
+            d2 = _seg_point_dist2(
+                verts[:, 0][:, None], verts[:, 1][:, None],
+                E[:, 0][None, :], E[:, 1][None, :],
+                E[:, 2][None, :], E[:, 3][None, :],
+            )
+            d = np.sqrt(d2)
+            seg_ref_arr = np.asarray(seg_ref)
+            seg_idx_arr = np.asarray(seg_idx)
+            for vi in range(len(verts)):
+                dv = d[vi]
+                # deterministic k-smallest: sort by (dist, ref, seg)
+                order = np.lexsort((seg_idx_arr, seg_ref_arr, dv))[:k]
+                for rank, si in enumerate(order, start=1):
+                    if dv[si] > search_radius:
+                        break
+                    out_rows.append(
+                        {
+                            "theme_id": theme_id,
+                            "vertex_idx": vi,
+                            "vx": float(verts[vi, 0]),
+                            "vy": float(verts[vi, 1]),
+                            "ref_id": str(seg_ref_arr[si]),
+                            "seg_idx": int(seg_idx_arr[si]),
+                            "dist": float(dv[si]),
+                            "rank": rank,
+                        }
+                    )
+        return pd.DataFrame(
+            out_rows, columns=[f.name for f in KNN_SCHEMA.fields]
+        )
+
+    return grouped.groupBy("theme_id").applyInPandas(kernel, schema=KNN_SCHEMA)

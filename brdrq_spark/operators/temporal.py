@@ -1,0 +1,74 @@
+"""Temporal reference update (reference: AutoUpdateBorders /
+``update_featurecollection_to_actual_grb``,
+plugin/brdrq/brdrq_algorithm_autoupdateborders.py:431-450): re-align only
+the thematic features whose referenced parcels changed since the
+version_date recorded in their lineage metadata; untouched features pass
+through unchanged ("no changes detected" early-exit path ibid.:445-450).
+
+Spark shape: an anti-join of recorded lineage vs the current reference
+version table isolates the changed subset — the incremental-recompute
+pattern (SURVEY.md O13) — then the ordinary align/evaluate operator runs
+on that subset only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from brdrq_spark.operators.align import AlignConfig, align
+
+
+def changed_themes(
+    theme_lineage: DataFrame, ref_versions: DataFrame
+) -> DataFrame:
+    """Themes referencing at least one parcel whose current VERSDATUM is
+    newer than the recorded version_date.
+
+    theme_lineage: (theme_id, ref_id, version_date) — the per-theme
+      `derived_from` records (reference brdr_metadata SOSA lineage,
+      fixture plugin/brdrq/test/themelayer_metadata.geojson).
+    ref_versions: (ref_id, VERSDATUM).
+    """
+    cur = ref_versions.select("ref_id", F.col("VERSDATUM").alias("_cur_vd"))
+    return (
+        theme_lineage.join(cur, "ref_id", "left")
+        .where(
+            F.col("_cur_vd").isNull()  # parcel disappeared
+            | (F.col("_cur_vd") > F.col("version_date"))
+        )
+        .select("theme_id")
+        .distinct()
+    )
+
+
+def update_to_actual(
+    spark: SparkSession,
+    theme_df: DataFrame,
+    theme_lineage: DataFrame,
+    ref_df_v2: DataFrame,
+    config: AlignConfig | None = None,
+    broadcast_ref: bool | None = None,
+) -> DataFrame:
+    """Re-align only changed themes against the new reference version.
+
+    Returns the align output for the changed subset plus passthrough
+    rows (brdr_remark='unchanged_reference') for untouched themes —
+    featureCount preserved, as the reference asserts
+    (plugin/brdrq/test/test_autoupdateborders.py:44-156).
+    """
+    changed = changed_themes(theme_lineage, ref_df_v2)
+    todo = theme_df.join(changed, "theme_id", "left_semi")
+    keep = theme_df.join(changed, "theme_id", "left_anti")
+
+    aligned = align(spark, todo, ref_df_v2, config, broadcast_ref=broadcast_ref)
+
+    cfg = config or AlignConfig()
+    passthrough = keep.select(
+        "theme_id",
+        F.lit(float(max(cfg.relevant_distances))).alias("brdr_relevant_distance"),
+        F.col("geom_wkb").alias("result_wkb"),
+        F.lit("unchanged_reference").alias("brdr_remark"),
+    )
+    out_cols = ["theme_id", "brdr_relevant_distance", "result_wkb", "brdr_remark"]
+    return aligned.select(*out_cols).unionByName(passthrough.select(*out_cols))

@@ -1,0 +1,122 @@
+"""Iceberg-style committed table: Parquet data files + an atomic JSON
+snapshot manifest + per-partition lineage rows, enabling
+resume-without-recompute (BASELINE.json north_rule: "resumable from
+checkpoint with per-partition lineage + metrics"; reference analogue:
+incremental GRB actualisation re-aligns only changed parcels,
+plugin/brdrq/brdrq_algorithm_autoupdateborders.py:431-450).
+
+No Iceberg jar exists in the sandbox (SURVEY.md §7.0), so the table
+format is emulated with the same commit discipline Iceberg uses:
+
+  table_dir/
+    data/part_<key>/...parquet      one directory per partition key
+    _lineage/part_<key>.json        row counts + stats per partition
+    _manifest.json                  atomic snapshot: committed keys
+
+A partition is visible iff its key is in the manifest; half-written
+data from a killed run is invisible and re-done on resume. The manifest
+write is atomic (os.replace of a temp file). ``resume_filter`` gives the
+anti-join set so a restarted job skips committed work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommittedTable:
+    def __init__(self, path: str):
+        self.path = path
+        self.data_dir = os.path.join(path, "data")
+        self.lineage_dir = os.path.join(path, "_lineage")
+        self.manifest_path = os.path.join(path, "_manifest.json")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.lineage_dir, exist_ok=True)
+
+    # -- manifest ---------------------------------------------------------
+    def committed_keys(self) -> set[str]:
+        if not os.path.exists(self.manifest_path):
+            return set()
+        with open(self.manifest_path) as f:
+            return set(json.load(f)["partitions"])
+
+    def _write_manifest(self, keys: set[str]) -> None:
+        tmp = self.manifest_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"partitions": sorted(keys), "committed_at": time.time(),
+                 "snapshot_id": uuid.uuid4().hex},
+                f,
+            )
+        os.replace(tmp, self.manifest_path)  # atomic snapshot swap
+
+    # -- commit path --------------------------------------------------------
+    def commit_partition(
+        self, key: str, df: DataFrame, lineage: dict | None = None
+    ) -> dict:
+        """Write one partition + lineage, then atomically publish it."""
+        part_dir = os.path.join(self.data_dir, f"part_{key}")
+        df.write.mode("overwrite").parquet(part_dir)
+        n = df.count()
+        row = {
+            "partition": key,
+            "row_count": n,
+            "committed_at": time.time(),
+            **(lineage or {}),
+        }
+        with open(os.path.join(self.lineage_dir, f"part_{key}.json"), "w") as f:
+            json.dump(row, f)
+        keys = self.committed_keys()
+        keys.add(key)
+        self._write_manifest(keys)
+        return row
+
+    # -- read path ----------------------------------------------------------
+    def read(self, spark: SparkSession) -> DataFrame:
+        keys = self.committed_keys()
+        if not keys:
+            raise FileNotFoundError(f"no committed partitions in {self.path}")
+        paths = [os.path.join(self.data_dir, f"part_{k}") for k in sorted(keys)]
+        return spark.read.parquet(*paths)
+
+    def lineage(self) -> list[dict]:
+        out = []
+        for k in sorted(self.committed_keys()):
+            p = os.path.join(self.lineage_dir, f"part_{k}.json")
+            if os.path.exists(p):
+                with open(p) as f:
+                    out.append(json.load(f))
+        return out
+
+    def resume_filter(self, all_keys: list[str]) -> list[str]:
+        """Keys still to compute (anti-join against the manifest)."""
+        done = self.committed_keys()
+        return [k for k in all_keys if k not in done]
+
+
+def run_partitioned(
+    spark: SparkSession,
+    table: CommittedTable,
+    keys: list[str],
+    make_df,
+    make_lineage=None,
+) -> dict:
+    """Drive a resumable partitioned job: for every uncommitted key,
+    compute ``make_df(key)``, commit with lineage. Returns summary."""
+    todo = table.resume_filter(keys)
+    done = 0
+    for key in todo:
+        df = make_df(key)
+        lin = make_lineage(key, df) if make_lineage else None
+        table.commit_partition(key, df, lin)
+        done += 1
+    return {
+        "requested": len(keys),
+        "skipped_committed": len(keys) - len(todo),
+        "computed": done,
+    }

@@ -1,0 +1,134 @@
+"""End-to-end tests of candidate generation + the align operator
+(SURVEY.md §7.1 M3: the minimum end-to-end slice, mirroring the
+reference scenario test_autocorrectborders_local_referencelayer —
+plugin/brdrq/test/test_autocorrectborders.py:221-264: align jittered
+thematic polygons to a local reference layer at rd=2; every input
+feature yields a result row, geometry snaps to parcel borders)."""
+
+import numpy as np
+import pytest
+
+from brdrq_spark.geom import rings_area, rings_from_wkb
+from brdrq_spark.geom.clip import area_of_op
+from brdrq_spark.operators.align import AlignConfig, align
+from brdrq_spark.operators.candidates import candidate_pairs
+from brdrq_spark.sources.synthetic import reference_parcels, thematic_polygons
+
+NX = NY = 12
+N_THEMES = 8
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    ref = spark.createDataFrame(reference_parcels(NX, NY, seed=21))
+    th = spark.createDataFrame(thematic_polygons(N_THEMES, NX, NY, seed=21, jitter=1.0))
+    return th, ref
+
+
+def test_candidate_pairs_contain_source_parcel(spark, tables):
+    th, ref = tables
+    pairs = candidate_pairs(th, ref, max_rd=2.0).collect()
+    by_theme = {}
+    for row in pairs:
+        by_theme.setdefault(row.theme_id, set()).add(row.ref_id)
+    src = {r.theme_id: r.src_parcel for r in th.collect()}
+    assert len(by_theme) == N_THEMES
+    for tid, parcels in by_theme.items():
+        # jittered copy of parcel X must have X among its candidates
+        assert any(p.endswith(src[tid]) for p in parcels), (tid, parcels)
+        # and not absurdly many candidates (pruning works)
+        assert len(parcels) <= 16
+
+
+def test_align_snaps_to_source_parcel(spark, tables):
+    th, ref = tables
+    cfg = AlignConfig(relevant_distances=[2.0])
+    out = align(spark, th, ref, cfg).collect()
+    assert len(out) == N_THEMES  # one row per theme at one rd
+
+    ref_rows = {r.ref_id: r.geom_wkb for r in ref.collect()}
+    src = {r.theme_id: r.src_parcel for r in th.collect()}
+    for row in out:
+        assert row.brdr_relevant_distance == 2.0
+        assert row.brdr_area > 0
+        parcel_wkb = next(
+            w for rid, w in ref_rows.items() if rid.endswith(src[row.theme_id])
+        )
+        parcel = rings_from_wkb(parcel_wkb)
+        result = rings_from_wkb(row.result_wkb)
+        sym = area_of_op(result, parcel, "symdiff")
+        # snapped: residual mismatch vs the source parcel is < 2% of area
+        assert sym < 0.02 * rings_area(parcel), (row.theme_id, sym)
+        # diff layers are consistent: |plus| + |min| == |symdiff vs theme|
+        a_plus = rings_area(rings_from_wkb(row.result_diff_plus_wkb))
+        a_min = rings_area(rings_from_wkb(row.result_diff_min_wkb))
+        a_diff = rings_area(rings_from_wkb(row.result_diff_wkb))
+        assert a_plus + a_min == pytest.approx(a_diff, abs=1e-3)
+        # metrics agree with geometries
+        assert row.brdr_area == pytest.approx(rings_area(result), abs=1e-6)
+        assert row.brdr_sym_diff_area_index_perc == pytest.approx(
+            100 * row.brdr_sym_diff_area_index, abs=1e-9
+        )
+        # tile assignments: non-empty, sorted, deterministic
+        assert row.cell_ids == sorted(row.cell_ids)
+        assert len(row.cell_ids) >= 1
+        assert row.brdr_full_actual in (True, False)
+
+
+def test_align_deterministic_across_parallelism(spark, tables):
+    th, ref = tables
+    cfg = AlignConfig(relevant_distances=[1.0, 2.0])
+    out1 = align(spark, th, ref, cfg)
+    a = {
+        (r.theme_id, r.brdr_relevant_distance): (r.brdr_area, tuple(r.cell_ids))
+        for r in out1.collect()
+    }
+    out2 = align(spark, th.repartition(7), ref.repartition(3), cfg)
+    b = {
+        (r.theme_id, r.brdr_relevant_distance): (r.brdr_area, tuple(r.cell_ids))
+        for r in out2.collect()
+    }
+    assert a == b  # bit-for-bit tile assignments + areas, any partitioning
+
+
+def test_align_od_strategies(spark):
+    # a theme half-on / half-off the reference tessellation edge
+    from brdrq_spark.geom import rings_to_wkb
+    import pandas as pd
+
+    ref_pdf = reference_parcels(4, 4, seed=33)
+    # theme sticking out of the tessellation: half inside first parcel,
+    # half outside the whole grid (west of origin)
+    theme_ring = np.array(
+        [[169968.0, 170008.0], [170032.0, 170008.0], [170032.0, 170056.0], [169968.0, 170056.0]]
+    )
+    th_pdf = pd.DataFrame(
+        [{"theme_id": "t_od", "geom_wkb": rings_to_wkb([theme_ring])}]
+    )
+    spark_th = spark.createDataFrame(th_pdf)
+    spark_ref = spark.createDataFrame(ref_pdf)
+
+    as_is = align(
+        spark, spark_th, spark_ref, AlignConfig(relevant_distances=[2.0], od_strategy="AS_IS")
+    ).collect()[0]
+    excl = align(
+        spark, spark_th, spark_ref, AlignConfig(relevant_distances=[2.0], od_strategy="EXCLUDE")
+    ).collect()[0]
+    # AS_IS keeps the overhang, EXCLUDE drops it: ~half the area
+    assert as_is.brdr_area > excl.brdr_area
+    assert excl.brdr_area == pytest.approx(as_is.brdr_area / 2, rel=0.2)
+
+
+def test_align_no_candidates(spark):
+    from brdrq_spark.geom import rings_to_wkb
+    import pandas as pd
+
+    far = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]])
+    th = spark.createDataFrame(
+        pd.DataFrame([{"theme_id": "t_far", "geom_wkb": rings_to_wkb([far])}])
+    )
+    ref = spark.createDataFrame(reference_parcels(3, 3, seed=1))
+    row = align(spark, th, ref, AlignConfig(relevant_distances=[2.0])).collect()[0]
+    assert row.brdr_remark == "no_reference_candidates"
+    # AS_IS: keeps the original geometry
+    assert row.brdr_area == pytest.approx(100.0, abs=0.5)

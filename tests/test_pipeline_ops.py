@@ -1,0 +1,165 @@
+"""Tests for evaluate / classify / temporal / manifest / dedup /
+similarity / footprint-invariant operators."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from brdrq_spark.operators.align import AlignConfig
+from brdrq_spark.operators.classify import classify_correction
+from brdrq_spark.operators.evaluate import add_stability, distance_grid, evaluate
+from brdrq_spark.operators.temporal import changed_themes, update_to_actual
+from brdrq_spark.sources.manifest import CommittedTable, run_partitioned
+from brdrq_spark.sources.synthetic import (
+    images_table,
+    reference_parcels,
+    reference_parcels_v2,
+    thematic_polygons,
+)
+
+GRID = 8
+
+
+@pytest.fixture(scope="module")
+def small_tables(spark):
+    ref = spark.createDataFrame(reference_parcels(GRID, GRID, seed=13))
+    th = spark.createDataFrame(thematic_polygons(4, GRID, GRID, seed=13, jitter=0.8))
+    return th, ref
+
+
+def test_distance_grid_matches_reference_shape():
+    g = distance_grid(2.0, 0.5)
+    assert g == [0.0, 0.5, 1.0, 1.5, 2.0]
+    assert distance_grid(0.3, 0.1) == [0.0, 0.1, 0.2, 0.3]
+
+
+def test_evaluate_stability_and_predictions(spark, small_tables):
+    th, ref = small_tables
+    out = evaluate(
+        spark, th, ref, max_rd=2.0, step=0.5, broadcast_ref=True, min_stable=2
+    ).collect()
+    assert len(out) >= 1  # at least one stable prediction overall
+    for r in out:
+        assert r.brdr_stability
+        assert r.brdr_prediction_score >= 2
+        assert r.brdr_prediction_count >= 1
+        assert r.brdr_evaluation in (
+            "no_change",
+            "prediction_unique",
+            "to_check_prediction_multi",
+        )
+
+
+def test_classify_states(spark, small_tables):
+    th, ref = small_tables
+    ev = evaluate(spark, th, ref, max_rd=2.0, step=0.5, broadcast_ref=True)
+    cls = classify_correction(th, ev).collect()
+    assert len(cls) >= th.count()  # every source feature classified
+    states = {r.brdrq_state for r in cls}
+    assert states <= {
+        "not_changed",
+        "auto_updated",
+        "to_review",
+        "to_update",
+        "none",
+    }
+    for r in cls:
+        assert r.brdrq_original_wkt.startswith("MULTIPOLYGON")
+
+
+def test_temporal_update_only_changed(spark):
+    ref_v1 = reference_parcels(GRID, GRID, seed=17)
+    ref_v2 = reference_parcels_v2(GRID, GRID, seed=17, change_frac=0.1)
+    th = thematic_polygons(6, GRID, GRID, seed=17, jitter=0.5)
+    # lineage: each theme derives from its source parcel at v1 date
+    lineage = [
+        {
+            "theme_id": r.theme_id,
+            "ref_id": ref_v1[ref_v1.ref_id.str.endswith(r.src_parcel)].ref_id.iloc[0],
+            "version_date": "2023-01-01",
+        }
+        for r in th.itertuples(index=False)
+    ]
+    th_df = spark.createDataFrame(th)
+    lin_df = spark.createDataFrame(lineage)
+    v2_df = spark.createDataFrame(ref_v2)
+
+    changed = {r.theme_id for r in changed_themes(lin_df, v2_df).collect()}
+    n_changed_parcels = int((ref_v2.VERSIE == 2).sum())
+    assert n_changed_parcels > 0
+    out = update_to_actual(
+        spark, th_df, lin_df, v2_df, AlignConfig(relevant_distances=[2.0]), broadcast_ref=True
+    ).collect()
+    assert len(out) == 6  # featureCount preserved
+    remarks = {r.theme_id: r.brdr_remark for r in out}
+    for tid, rem in remarks.items():
+        if tid in changed:
+            assert rem != "unchanged_reference"
+        else:
+            assert rem == "unchanged_reference"
+
+
+def test_committed_table_resume(spark, tmp_path):
+    tab = CommittedTable(str(tmp_path / "tbl"))
+    calls = []
+
+    def make_df(key):
+        calls.append(key)
+        return spark.range(10).withColumn("k", F.lit(key))
+
+    keys = ["a", "b", "c"]
+    s1 = run_partitioned(spark, tab, keys, make_df)
+    assert s1 == {"requested": 3, "skipped_committed": 0, "computed": 3}
+    assert tab.read(spark).count() == 30
+    # resume: nothing recomputed
+    s2 = run_partitioned(spark, tab, keys, make_df)
+    assert s2["computed"] == 0 and s2["skipped_committed"] == 3
+    assert calls == ["a", "b", "c"]
+    # lineage rows recorded per partition
+    lin = tab.lineage()
+    assert [r["partition"] for r in lin] == ["a", "b", "c"]
+    assert all(r["row_count"] == 10 for r in lin)
+    # a new key computes incrementally
+    s3 = run_partitioned(spark, tab, keys + ["d"], make_df)
+    assert s3["computed"] == 1
+    assert tab.read(spark).count() == 40
+
+
+def test_footprint_invariant_after_shuffle(spark):
+    from brdrq_spark.operators.footprints import verify_invariants
+
+    images = spark.createDataFrame(images_table(12, seed=4))
+    # a tiling pass: repartition by phash-derived cell + sort (max shuffle)
+    shuffled = images.repartition(8, "phash").sortWithinPartitions("image_id")
+    checks = verify_invariants(shuffled, images).collect()
+    assert len(checks) == 12
+    assert all(r.pixels_ok and r.caption_ok for r in checks)
+
+
+def test_minhash_finds_planted_duplicates(spark):
+    import pandas as pd
+
+    from brdrq_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard,
+        shingles,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again until done"
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": base},  # exact dup
+        {"doc_id": 3, "text": base.replace("lazy", "sleepy")},  # near dup
+        {"doc_id": 4, "text": "completely different content about spark plans and shuffles here"},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    sigs = minhash_signatures(shingles(df, k=3), num_perm=16)
+    pairs = lsh_candidate_pairs(sigs, bands=8)
+    got = {(r.a, r.b) for r in pairs.collect()}
+    assert (1, 2) in got
+    verified = ngram_jaccard(df, pairs, k=3, threshold=0.95).collect()
+    vgot = {(r.a, r.b) for r in verified}
+    assert (1, 2) in vgot
+    assert all(p != (1, 4) for p in vgot)

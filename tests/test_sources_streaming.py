@@ -1,0 +1,83 @@
+"""GeoJSON source/sink roundtrip and streaming windowed aggregation."""
+
+import json
+
+import numpy as np
+import pytest
+
+from brdrq_spark.geom import rings_area, rings_from_wkb, rings_to_wkb
+from brdrq_spark.sources.geojson import read_geojson, write_geojson
+from brdrq_spark.streaming.events import (
+    run_stream_to_memory,
+    stream_events_from_parquet,
+    windowed_event_counts,
+)
+
+
+def test_geojson_roundtrip(spark, tmp_path):
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [[[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]]],
+                },
+                "properties": {"theme_identifier": "t1", "status": "open"},
+            },
+            {
+                "type": "Feature",
+                "geometry": {
+                    "type": "MultiPolygon",
+                    "coordinates": [
+                        [[[20, 0], [30, 0], [30, 10], [20, 10], [20, 0]],
+                         [[24, 4], [24, 6], [26, 6], [26, 4], [24, 4]]]
+                    ],
+                },
+                "properties": {"theme_identifier": "t2", "status": "closed"},
+            },
+        ],
+    }
+    p = tmp_path / "fc.geojson"
+    p.write_text(json.dumps(fc))
+    df = read_geojson(spark, str(p), id_field="theme_identifier")
+    rows = {r.feature_id: r for r in df.collect()}
+    assert set(rows) == {"t1", "t2"}
+    assert rings_area(rings_from_wkb(rows["t1"].geom_wkb)) == pytest.approx(100.0)
+    assert rings_area(rings_from_wkb(rows["t2"].geom_wkb)) == pytest.approx(96.0)
+    assert rows["t2"].status == "closed"
+
+    out = tmp_path / "out.geojson"
+    write_geojson(df, str(out))
+    back = json.loads(out.read_text())
+    assert len(back["features"]) == 2
+    geom_types = {f["geometry"]["type"] for f in back["features"]}
+    assert geom_types == {"MultiPolygon"}  # Multi-promoted on write
+
+
+def test_streaming_windowed_counts_matches_batch(spark, tmp_path):
+    # static events → batch result
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    batch = windowed_event_counts(ev, window="1 hour")
+    batch_rows = {
+        (r.win_start, r.event_type): (r.n, r.sum_value) for r in batch.collect()
+    }
+    assert len(batch_rows) > 0
+
+    # same parquet driven through readStream micro-batches
+    src_dir = tmp_path / "stream_src"
+    src_dir.mkdir()
+    ev.write.parquet(str(src_dir / "part1"))
+    stream = stream_events_from_parquet(spark, str(src_dir / "part1"), schema=ev.schema)
+    agg = windowed_event_counts(stream, window="1 hour")
+    q = run_stream_to_memory(agg.select("win_start", "event_type", "n", "sum_value"),
+                             "ev_counts")
+    try:
+        got = spark.sql("SELECT * FROM ev_counts").collect()
+        # append-mode only emits windows older than the watermark; whatever
+        # was emitted must agree with the batch result
+        for r in got:
+            assert batch_rows[(r.win_start, r.event_type)] == (r.n, r.sum_value)
+    finally:
+        q.stop()
