@@ -253,6 +253,33 @@ def _finalize(parts, theme_rings, ref_ring_sets, od_part, cfg: AlignConfig):
     }
 
 
+def _make_stream_kernel(cfg: AlignConfig, res: int):
+    """Partition-streaming wrapper: one Arrow stream per partition
+    (mapInPandas) instead of one round-trip per theme group
+    (applyInPandas). Rows arrive repartitioned and sorted by theme_id;
+    a theme split across adjacent Arrow batches is buffered until its
+    last row is seen. Cuts JVM<->Python chatter ~group_count times."""
+    kernel = _make_kernel(cfg, res)
+
+    def stream(batches):
+        buf = None
+        for pdf in batches:
+            if buf is not None and len(buf):
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+            if not len(pdf):
+                buf = None
+                continue
+            last_tid = pdf["theme_id"].iloc[-1]
+            complete = pdf[pdf["theme_id"] != last_tid]
+            buf = pdf[pdf["theme_id"] == last_tid]
+            for _, g in complete.groupby("theme_id", sort=False):
+                yield kernel(g)
+        if buf is not None and len(buf):
+            yield kernel(buf)
+
+    return stream
+
+
 def _make_kernel(cfg: AlignConfig, res: int):
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         theme_id = pdf["theme_id"].iloc[0]
@@ -378,6 +405,11 @@ def align(
         .join(r, "ref_id", "left")
         .select("theme_id", "theme_wkb", "ref_wkb")
     )
-    return grouped.groupBy("theme_id").applyInPandas(
-        _make_kernel(cfg, res), schema=ALIGN_SCHEMA
-    )
+    # partition-streaming kernel: co-locate each theme's candidate rows,
+    # sort so groups are contiguous, then stream whole partitions through
+    # one pandas iterator (see _make_stream_kernel)
+    # 4x parallelism: theme cost varies (candidate count, partial
+    # branches), so smaller partitions keep the stage tail short
+    n_part = spark.sparkContext.defaultParallelism * 4
+    parts = grouped.repartition(n_part, "theme_id").sortWithinPartitions("theme_id")
+    return parts.mapInPandas(_make_stream_kernel(cfg, res), schema=ALIGN_SCHEMA)

@@ -55,6 +55,15 @@ def candidate_pairs(
         res = pick_resolution(max_rd)
     dilate = 2.0 * max_rd * 1.01
 
+    # the decode+cover UDF is the per-row cost here: make sure neither
+    # side arrives as a handful of parquet-file partitions and serializes
+    # the pass (a single 4k-parcel file would otherwise run on one core)
+    par = theme_df.sparkSession.sparkContext.defaultParallelism
+    if theme_df.rdd.getNumPartitions() < par:
+        theme_df = theme_df.repartition(par)
+    if ref_df.rdd.getNumPartitions() < par:
+        ref_df = ref_df.repartition(par)
+
     t = (
         with_geo_features(
             theme_df.select(theme_id, "geom_wkb"), "geom_wkb", res, dilate

@@ -39,6 +39,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # geometry kernels are compute-heavy per BYTE of shuffle data: the
+        # default 1MB minimum partition size would coalesce a whole
+        # applyInPandas stage into 1-2 partitions and serialize the Python
+        # workers. shuffle.partitions is already sized to ~2x cores here;
+        # on a real cluster, re-raise this to trade scheduler overhead
+        # for fewer, larger IO-bound partitions.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1b")
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -2,15 +2,21 @@
 loaded from .geojson fixtures — plugin/brdrq/test/test_autocorrectborders.py:
 51-54 — and written back as FeatureCollections, brdrq_utils.py:775-838).
 
-Read: spark.read multiLine JSON → explode features[] → flatten
-properties.* → geometry coordinates → WKB kernel (Multi-promoted,
-normalized — the P1-P4 pipeline). Write: WKB → GeoJSON text rows.
+A FeatureCollection is ONE json object — inherently non-splittable — so
+parallelism comes from *many files*: `spark.read.text(wholetext)` gives
+one row per file, and a mapInPandas kernel parses features into
+(feature_id, geom_wkb, props map<string,string>) rows. Geometry goes
+through the normalization kernel (P1-P4: make_valid, Multi-promotion,
+Z-drop). Spark's own JSON reader is unusable here: Polygon (3-deep) and
+MultiPolygon (4-deep) coordinates break its schema inference.
 """
 
 from __future__ import annotations
 
 import json
+from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -20,11 +26,17 @@ from brdrq_spark.geom import normalize, rings_from_wkb, rings_to_wkb
 from brdrq_spark.geom.core import ring_area
 from brdrq_spark.geom.wkb import _group_polygons
 
-import numpy as np
+GEOJSON_SCHEMA = T.StructType(
+    [
+        T.StructField("feature_id", T.StringType()),
+        T.StructField("geom_wkb", T.BinaryType()),
+        T.StructField("props", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
 
 
-def _geojson_geom_to_rings(geom: dict) -> list[np.ndarray]:
-    """GeoJSON Polygon/MultiPolygon coordinates → oriented ring set."""
+def geojson_geom_to_rings(geom: dict | None) -> list[np.ndarray]:
+    """GeoJSON Polygon/MultiPolygon coordinates → normalized ring set."""
     if geom is None:
         return []
     gtype = geom.get("type", "")
@@ -46,24 +58,38 @@ def _geojson_geom_to_rings(geom: dict) -> list[np.ndarray]:
     return normalize(rings)
 
 
-@F.pandas_udf(T.BinaryType())
-def geojson_to_wkb_udf(geom_json: pd.Series) -> pd.Series:
-    return geom_json.map(
-        lambda s: rings_to_wkb(_geojson_geom_to_rings(json.loads(s))) if s else None
-    )
-
-
 def read_geojson(spark: SparkSession, path: str, id_field: str | None = None) -> DataFrame:
-    """FeatureCollection file → DataFrame(feature_id, geom_wkb, props…)."""
-    raw = spark.read.option("multiLine", "true").json(path)
-    feats = raw.select(F.explode("features").alias("f"))
-    out = feats.select(
-        F.to_json(F.col("f.geometry")).alias("_geom_json"),
-        F.col("f.properties.*"),
-    ).withColumn("geom_wkb", geojson_to_wkb_udf(F.col("_geom_json"))).drop("_geom_json")
-    if id_field and id_field in out.columns:
-        out = out.withColumnRenamed(id_field, "feature_id")
-    return out
+    """FeatureCollection file(s) → DataFrame(feature_id, geom_wkb, props)."""
+    files = spark.read.option("wholetext", "true").text(path)
+
+    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for txt in pdf["value"]:
+                fc = json.loads(txt)
+                feats = fc.get("features", [])
+                for i, f in enumerate(feats):
+                    props = {
+                        str(k): (None if v is None else str(v))
+                        for k, v in (f.get("properties") or {}).items()
+                    }
+                    fid = (
+                        props.get(id_field)
+                        if id_field
+                        else str(f.get("id", i))
+                    )
+                    rows.append(
+                        {
+                            "feature_id": fid,
+                            "geom_wkb": rings_to_wkb(
+                                geojson_geom_to_rings(f.get("geometry"))
+                            ),
+                            "props": props,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["feature_id", "geom_wkb", "props"])
+
+    return files.mapInPandas(parse, schema=GEOJSON_SCHEMA)
 
 
 @F.pandas_udf(T.StringType())
@@ -72,27 +98,28 @@ def wkb_to_geojson_udf(wkb: pd.Series) -> pd.Series:
         if not b:
             return None
         polys = _group_polygons(rings_from_wkb(b))
-        coords = [
-            [np.vstack([r, r[:1]]).tolist() for r in poly] for poly in polys
-        ]
+        coords = [[np.vstack([r, r[:1]]).tolist() for r in poly] for poly in polys]
         return json.dumps({"type": "MultiPolygon", "coordinates": coords})
 
     return wkb.map(conv)
 
 
 def write_geojson(df: DataFrame, path: str, geom_col: str = "geom_wkb") -> None:
-    """Collect to a single FeatureCollection file (driver-side; for
-    result layers, which are small — the distributed sink is Parquet)."""
+    """Collect to a single FeatureCollection file (driver-side; result
+    layers are small — the distributed durable sink is Parquet)."""
     rows = df.withColumn("_gj", wkb_to_geojson_udf(F.col(geom_col))).collect()
     feats = []
     for r in rows:
-        d = r.asDict()
+        d = r.asDict(recursive=True)
         gj = d.pop("_gj")
         d.pop(geom_col, None)
-        props = {k: (v if not isinstance(v, bytes) else v.hex()) for k, v in d.items()}
+        props = {k: (v.hex() if isinstance(v, bytes) else v) for k, v in d.items()}
         feats.append(
-            {"type": "Feature", "geometry": json.loads(gj) if gj else None,
-             "properties": props}
+            {
+                "type": "Feature",
+                "geometry": json.loads(gj) if gj else None,
+                "properties": props,
+            }
         )
     with open(path, "w") as f:
         json.dump({"type": "FeatureCollection", "features": feats}, f)

@@ -24,6 +24,9 @@ def windowed_event_counts(
     Works identically on a static DataFrame (for tests/oracle) and a
     readStream source."""
     w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    # parquet TIMESTAMP_NTZ -> TIMESTAMP: watermarks require event-time
+    # timestamps; session TZ is pinned UTC so the cast is deterministic
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         events.withWatermark("ts", watermark)
         .groupBy(w.alias("win"), "event_type")

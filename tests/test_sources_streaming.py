@@ -46,7 +46,7 @@ def test_geojson_roundtrip(spark, tmp_path):
     assert set(rows) == {"t1", "t2"}
     assert rings_area(rings_from_wkb(rows["t1"].geom_wkb)) == pytest.approx(100.0)
     assert rings_area(rings_from_wkb(rows["t2"].geom_wkb)) == pytest.approx(96.0)
-    assert rows["t2"].status == "closed"
+    assert rows["t2"].props["status"] == "closed"
 
     out = tmp_path / "out.geojson"
     write_geojson(df, str(out))
