@@ -41,20 +41,16 @@ _OPS = {
 }
 
 
-def _collect_edges(rings: list[np.ndarray], tag: int, xs, ys0, ys1, tags, dws):
+def _collect_edges(rings: list[np.ndarray], tag: int, segs, tags):
     for ring in rings:
         r = snap_ring(ring)
         if len(r) < 3:
             continue
         r2 = np.roll(r, -1, axis=0)
-        for (x0, y0), (x1, y1) in zip(r, r2):
-            if y0 == y1:
-                continue  # horizontal edges never bound a beam interior
-            xs.append((x0, y0, x1, y1))
-            ys0.append(min(y0, y1))
-            ys1.append(max(y0, y1))
-            tags.append(tag)
-            dws.append(1 if y1 > y0 else -1)
+        keep = r[:, 1] != r2[:, 1]  # horizontals never bound a beam interior
+        if keep.any():
+            segs.append(np.column_stack([r[keep], r2[keep]]))
+            tags.append(np.full(int(keep.sum()), tag, dtype=np.int8))
 
 
 def _intersection_ys(E: np.ndarray) -> np.ndarray:
@@ -108,70 +104,109 @@ def _intersection_ys(E: np.ndarray) -> np.ndarray:
 
 def _trapezoids(
     a_rings: list[np.ndarray], b_rings: list[np.ndarray], op: str
-) -> list[tuple[float, float, float, float, float, float]]:
+) -> np.ndarray:
     """Decompose ``op(a, b)`` into trapezoids.
 
-    Returns tuples (ylo, yhi, xl_lo, xr_lo, xl_hi, xr_hi): the inside
-    region between y=ylo and y=yhi bounded left by the segment
-    (xl_lo,ylo)-(xl_hi,yhi) and right by (xr_lo,ylo)-(xr_hi,yhi).
+    Returns an (n, 6) float array of rows (ylo, yhi, xl_lo, xr_lo,
+    xl_hi, xr_hi): the inside region between y=ylo and y=yhi bounded
+    left by segment (xl_lo,ylo)-(xl_hi,yhi) and right by
+    (xr_lo,ylo)-(xr_hi,yhi).
+
+    Fully vectorized across scanbeams: every (edge x spanned-beam) pair
+    becomes one row of a flat table, winding numbers are segmented
+    cumsums over beam groups, and trapezoid extraction is boolean run
+    detection — no per-beam Python loop (the geometry kernel's hot path
+    runs 32-way inside pandas UDF workers, where allocation churn is
+    the scaling limiter).
     """
     fn = _OPS[op]
-    xs: list = []; ys0: list = []; ys1: list = []; tags: list = []; dws: list = []
-    _collect_edges(a_rings, 0, xs, ys0, ys1, tags, dws)
-    _collect_edges(b_rings, 1, xs, ys0, ys1, tags, dws)
-    if not xs:
-        return []
-    E = np.asarray(xs, dtype=np.float64)
-    ymin = np.asarray(ys0); ymax = np.asarray(ys1)
-    tag = np.asarray(tags); dw = np.asarray(dws)
-
-    events = np.concatenate([ymin, ymax, _intersection_ys(E)])
-    events = np.unique(events)
-
+    segs: list = []
+    tags: list = []
+    _collect_edges(a_rings, 0, segs, tags)
+    _collect_edges(b_rings, 1, segs, tags)
+    if not segs:
+        return np.zeros((0, 6))
+    E = np.vstack(segs)
+    tag = np.concatenate(tags)
     x0 = E[:, 0]; y0 = E[:, 1]; x1 = E[:, 2]; y1 = E[:, 3]
-    inv_dy = 1.0 / (y1 - y0)
-    traps: list[tuple[float, float, float, float, float, float]] = []
+    dw = np.where(y1 > y0, 1, -1).astype(np.int64)
+    ymin = np.minimum(y0, y1)
+    ymax = np.maximum(y0, y1)
 
-    for k in range(len(events) - 1):
-        ylo = events[k]; yhi = events[k + 1]
-        act = (ymin <= ylo) & (ymax >= yhi)
-        if not act.any():
-            continue
-        idx = np.nonzero(act)[0]
-        tlo = (ylo - y0[idx]) * inv_dy[idx]
-        thi = (yhi - y0[idx]) * inv_dy[idx]
-        xlo = x0[idx] + tlo * (x1[idx] - x0[idx])
-        xhi = x0[idx] + thi * (x1[idx] - x0[idx])
-        xm = 0.5 * (xlo + xhi)
-        order = np.lexsort((xhi, xlo, xm))
-        xlo = xlo[order]; xhi = xhi[order]
-        sdw = dw[idx][order]
-        stag = tag[idx][order]
-        wa = np.cumsum(np.where(stag == 0, sdw, 0))
-        wb = np.cumsum(np.where(stag == 1, sdw, 0))
-        inside = fn(wa != 0, wb != 0)
-        m = len(inside)
-        # maximal runs of inside==True; inside[i] = region between edges i, i+1
-        starts = np.nonzero(inside & ~np.concatenate(([False], inside[:-1])))[0]
-        ends = np.nonzero(inside & ~np.concatenate((inside[1:], [False])))[0]
-        for s, e in zip(starts, ends):
-            if e + 1 >= m:
-                continue  # unbounded to the right — malformed winding, skip
-            l_lo, l_hi = xlo[s], xhi[s]
-            r_lo, r_hi = xlo[e + 1], xhi[e + 1]
-            area = 0.5 * ((r_lo - l_lo) + (r_hi - l_hi)) * (yhi - ylo)
-            # keep sliver trapezoids: dropping them would break boundary
-            # continuity at stitch time; degenerate ones filtered there.
-            if area <= 0:
-                continue
-            traps.append((ylo, yhi, l_lo, r_lo, l_hi, r_hi))
-    return traps
+    events = np.unique(np.concatenate([ymin, ymax, _intersection_ys(E)]))
+    if len(events) < 2:
+        return np.zeros((0, 6))
+
+    # --- flat (edge, beam) table -----------------------------------------
+    i0 = np.searchsorted(events, ymin)  # endpoints are events: exact hits
+    i1 = np.searchsorted(events, ymax)
+    cnt = i1 - i0
+    total = int(cnt.sum())
+    if total == 0:
+        return np.zeros((0, 6))
+    eidx = np.repeat(np.arange(len(E)), cnt)
+    cum = np.concatenate(([0], np.cumsum(cnt)))
+    bidx = np.repeat(i0, cnt) + (np.arange(total) - np.repeat(cum[:-1], cnt))
+
+    ylo = events[bidx]
+    yhi = events[bidx + 1]
+    ex0 = x0[eidx]; edx = (x1 - x0)[eidx]
+    einv = (1.0 / (y1 - y0))[eidx]
+    ey0 = y0[eidx]
+    xlo = ex0 + (ylo - ey0) * einv * edx
+    xhi = ex0 + (yhi - ey0) * einv * edx
+    xm = 0.5 * (xlo + xhi)
+
+    order = np.lexsort((xhi, xlo, xm, bidx))
+    bs = bidx[order]; xlo_s = xlo[order]; xhi_s = xhi[order]
+    te = tag[eidx[order]]; de = dw[eidx[order]]
+
+    # --- segmented winding cumsums ----------------------------------------
+    dwa = np.where(te == 0, de, 0)
+    dwb = np.where(te == 1, de, 0)
+    wa = np.cumsum(dwa)
+    wb = np.cumsum(dwb)
+    new_grp = np.empty(total, dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = bs[1:] != bs[:-1]
+    grp_id = np.cumsum(new_grp) - 1
+    base_a = (wa[new_grp] - dwa[new_grp])[grp_id]
+    base_b = (wb[new_grp] - dwb[new_grp])[grp_id]
+    inside = fn((wa - base_a) != 0, (wb - base_b) != 0)
+    grp_end = np.empty(total, dtype=bool)
+    grp_end[:-1] = new_grp[1:]
+    grp_end[-1] = True
+    inside &= ~grp_end  # region right of a beam's last edge is outside
+
+    # --- maximal inside runs -> trapezoids ---------------------------------
+    prev = np.empty(total, dtype=bool)
+    prev[0] = False
+    prev[1:] = inside[:-1]
+    nxt = np.empty(total, dtype=bool)
+    nxt[:-1] = inside[1:]
+    nxt[-1] = False
+    si = np.nonzero(inside & ~prev)[0]
+    ei = np.nonzero(inside & ~nxt)[0]
+    if not len(si):
+        return np.zeros((0, 6))
+    l_lo = xlo_s[si]; l_hi = xhi_s[si]
+    r_lo = xlo_s[ei + 1]; r_hi = xhi_s[ei + 1]
+    t_ylo = events[bs[si]]; t_yhi = events[bs[si] + 1]
+    area = 0.5 * ((r_lo - l_lo) + (r_hi - l_hi)) * (t_yhi - t_ylo)
+    keep = area > 0  # keep slivers: stitch continuity needs them
+    return np.column_stack(
+        [t_ylo[keep], t_yhi[keep], l_lo[keep], r_lo[keep], l_hi[keep], r_hi[keep]]
+    )
 
 
 def trapezoid_area(traps) -> float:
-    return sum(
-        0.5 * ((r_lo - l_lo) + (r_hi - l_hi)) * (yhi - ylo)
-        for (ylo, yhi, l_lo, r_lo, l_hi, r_hi) in traps
+    t = np.asarray(traps, dtype=np.float64)
+    if t.size == 0:
+        return 0.0
+    if t.ndim == 1:
+        t = t[None, :]
+    return float(
+        (0.5 * ((t[:, 3] - t[:, 2]) + (t[:, 5] - t[:, 4])) * (t[:, 1] - t[:, 0])).sum()
     )
 
 
@@ -181,8 +216,11 @@ def _key(x: float, y: float) -> tuple[int, int]:
 
 def _stitch(traps) -> list[np.ndarray]:
     """Merge trapezoids into orientation-encoded rings (CCW outer, CW hole)."""
-    if not traps:
+    traps = np.asarray(traps, dtype=np.float64)
+    if traps.size == 0:
         return []
+    if traps.ndim == 1:
+        traps = traps[None, :]
     # --- horizontal interval cancellation per y ---------------------------
     # bottom of a trapezoid: interior above => rightward (+1)
     # top: interior below => leftward (-1); overlaps cancel.
@@ -200,13 +238,11 @@ def _stitch(traps) -> list[np.ndarray]:
         else:
             side_count[(p, q)] += 1
 
-    for (ylo, yhi, l_lo, r_lo, l_hi, r_hi) in traps:
-        kylo = int(round(ylo * _INV_SNAP))
-        kyhi = int(round(yhi * _INV_SNAP))
-        kl_lo = int(round(l_lo * _INV_SNAP))
-        kr_lo = int(round(r_lo * _INV_SNAP))
-        kl_hi = int(round(l_hi * _INV_SNAP))
-        kr_hi = int(round(r_hi * _INV_SNAP))
+    K = np.round(traps * _INV_SNAP).astype(np.int64)
+    for kylo, kyhi, kl_lo, kr_lo, kl_hi, kr_hi in K:
+        kylo = int(kylo); kyhi = int(kyhi)
+        kl_lo = int(kl_lo); kr_lo = int(kr_lo)
+        kl_hi = int(kl_hi); kr_hi = int(kr_hi)
         if kl_lo == kr_lo and kl_hi == kr_hi:
             continue  # zero width at snap resolution — nothing to bound
         if kl_lo < kr_lo:
