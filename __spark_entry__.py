@@ -305,6 +305,54 @@ def q_similarity_cosine(spark, sf_dir):
     )
 
 
+def q_streaming_windowed_counts(spark, sf_dir):
+    """Watermarked-window aggregation shape (SURVEY.md §2.10) on the
+    static events table; win_start exported as epoch seconds so the
+    DuckDB time_bucket mirror compares exactly."""
+    from brdrq_spark.streaming.events import windowed_event_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = windowed_event_counts(ev, window="1 hour")
+    return out.select(
+        F.unix_timestamp("win_start").alias("win_start_epoch"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+def q_f2_string_funcs(spark, sf_dir):
+    _views(spark, sf_dir)
+    return spark.sql("""
+      SELECT c_custkey,
+             upper(substr(c_name, 1, 8))            AS name_prefix,
+             concat(c_mktsegment, '#', c_custkey)   AS seg_key,
+             cast(length(replace(c_name, ' ', '')) AS bigint) AS name_len_nospace
+      FROM customer
+    """)
+
+
+def q_f3_date_buckets(spark, sf_dir):
+    _views(spark, sf_dir)
+    return spark.sql("""
+      SELECT date_format(o_orderdate, 'yyyy-MM') AS order_month,
+             count(*) AS n,
+             round(sum(o_totalprice), 2) AS month_total
+      FROM orders GROUP BY 1
+    """)
+
+
+def q_f4_math_round(spark, sf_dir):
+    _views(spark, sf_dir)
+    return spark.sql("""
+      SELECT l_orderkey, l_linenumber,
+             cast(floor(l_extendedprice * 100) AS bigint) AS price_cents,
+             round(l_discount * 100, 1)                   AS discount_pct,
+             cast(abs(l_quantity - 25) AS double)         AS qty_dev
+      FROM lineitem WHERE l_linenumber = 1
+    """)
+
+
 # --------------------------------------------------------------------------
 # geometry-native operators (no SQL oracle → driver rows-only check)
 # --------------------------------------------------------------------------
@@ -388,6 +436,111 @@ def q_knn_bucketed(spark, sf_dir):
     return knn_join_bucketed(emb, emb.limit(20), k=5)
 
 
+def q_knn_boundary(spark, sf_dir):
+    """J6: kNN nearest-boundary-segment refinement."""
+    from brdrq_spark.operators.knn import knn_boundary_segments
+
+    th, ref = _synthetic_align_inputs(spark, n_theme=4, grid=8, seed=3)
+    out = knn_boundary_segments(spark, th, ref, k=2, search_radius=8.0)
+    return out.select(
+        "theme_id", "vertex_idx", "ref_id", "seg_idx",
+        F.round("dist", 4).alias("dist"), "rank",
+    )
+
+
+def q_temporal_update(spark, sf_dir):
+    """A13: anti-join on recorded lineage, re-align changed themes only."""
+    import pandas as pd
+
+    from brdrq_spark.operators.align import AlignConfig
+    from brdrq_spark.operators.temporal import update_to_actual
+    from brdrq_spark.sources.synthetic import (
+        reference_parcels,
+        reference_parcels_v2,
+        thematic_polygons,
+    )
+
+    g = 10
+    ref_v1 = reference_parcels(g, g, seed=17)
+    th = thematic_polygons(8, g, g, seed=17, jitter=0.5)
+    lineage = pd.DataFrame(
+        [
+            {
+                "theme_id": r.theme_id,
+                "ref_id": ref_v1[ref_v1.ref_id.str.endswith(r.src_parcel)].ref_id.iloc[0],
+                "version_date": "2023-01-01",
+            }
+            for r in th.itertuples(index=False)
+        ]
+    )
+    out = update_to_actual(
+        spark,
+        spark.createDataFrame(th),
+        spark.createDataFrame(lineage),
+        spark.createDataFrame(reference_parcels_v2(g, g, seed=17, change_frac=0.1)),
+        AlignConfig(relevant_distances=[2.0]),
+        broadcast_ref=True,
+    )
+    return out.select("theme_id", "brdr_relevant_distance", "brdr_remark")
+
+
+def q_resume_lineage(spark, sf_dir):
+    """M7: Iceberg-style commit log — run a partitioned job twice; the
+    second pass must skip every committed partition. Returns per-
+    partition lineage rows + resume counters."""
+    import pandas as pd
+    import tempfile
+
+    from brdrq_spark.sources.manifest import CommittedTable, run_partitioned
+
+    root = tempfile.mkdtemp(prefix="brdrq_resume_")
+    tab = CommittedTable(root)
+    keys = ["k0", "k1", "k2"]
+
+    def make_df(key):
+        return spark.range(5).select(
+            F.col("id"), F.lit(key).alias("part_key")
+        )
+
+    first = run_partitioned(spark, tab, keys, make_df)
+    second = run_partitioned(spark, tab, keys, make_df)
+    rows = [
+        {
+            "partition": r["partition"],
+            "row_count": r["row_count"],
+            "first_computed": first["computed"],
+            "second_skipped": second["skipped_committed"],
+        }
+        for r in tab.lineage()
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def q_image_invariants(spark, sf_dir):
+    """input_hint per-row invariant: after a tiling/shuffle pass, decoded
+    pixels hash-equal and captions unchanged."""
+    from brdrq_spark.operators.footprints import verify_invariants
+    from brdrq_spark.sources.synthetic import images_table
+
+    images = spark.createDataFrame(images_table(16, seed=8))
+    shuffled = images.repartition(8, "phash").sortWithinPartitions("image_id")
+    return verify_invariants(shuffled, images)
+
+
+def q_evaluate_best(spark, sf_dir):
+    """A9 BEST strategy: argmax prediction per feature."""
+    from brdrq_spark.operators.evaluate import STRATEGY_BEST, evaluate
+
+    th, ref = _synthetic_align_inputs(spark, n_theme=6, grid=10, seed=5)
+    out = evaluate(
+        spark, th, ref, max_rd=2.0, step=0.5, broadcast_ref=True,
+        prediction_strategy=STRATEGY_BEST,
+    )
+    return out.select(
+        "theme_id", "brdr_relevant_distance", "brdr_prediction_score", "brdr_evaluation"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational / window / agg shapes (SURVEY.md §2 mapping in name)
@@ -407,6 +560,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize,
         "u3_set_except": q_u3_set_except,
         # training-pipeline operators
+        "streaming_windowed_counts": q_streaming_windowed_counts,
+        "f2_string_funcs": q_f2_string_funcs,
+        "f3_date_buckets": q_f3_date_buckets,
+        "f4_math_round": q_f4_math_round,
         "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
         "langid_heuristic": q_langid,
@@ -415,11 +572,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_candidates": q_minhash_lsh,
         "simhash_signatures": q_simhash,
         "knn_bucketed": q_knn_bucketed,
-        # geometry-native (rows-only)
+        # geometry-native / engine-native (rows-only)
         "align_flagship": q_align_flagship,
         "footprint_extraction": q_footprint_extraction,
         "evaluate_prediction_sweep": q_evaluate_prediction_sweep,
+        "evaluate_best_strategy": q_evaluate_best,
         "classify_correction": q_classify_correction,
+        "knn_boundary_segments": q_knn_boundary,
+        "temporal_update": q_temporal_update,
+        "resume_lineage": q_resume_lineage,
+        "image_invariants": q_image_invariants,
     }
 
 
@@ -602,5 +764,32 @@ def oracle_sql() -> dict[str, str]:
           FROM embeddings e,
                (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
           WHERE e.vec_id != 0 AND e.vec_id < 50
+        """,
+        "streaming_windowed_counts": """
+          SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS win_start_epoch,
+                 event_type,
+                 count(*) AS n,
+                 round(sum(value), 4) AS sum_value
+          FROM events GROUP BY 1, 2
+        """,
+        "f2_string_funcs": """
+          SELECT c_custkey,
+                 upper(substr(c_name, 1, 8))          AS name_prefix,
+                 concat(c_mktsegment, '#', c_custkey) AS seg_key,
+                 cast(length(replace(c_name, ' ', '')) AS bigint) AS name_len_nospace
+          FROM customer
+        """,
+        "f3_date_buckets": """
+          SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+                 count(*) AS n,
+                 round(sum(o_totalprice), 2) AS month_total
+          FROM orders GROUP BY 1
+        """,
+        "f4_math_round": """
+          SELECT l_orderkey, l_linenumber,
+                 cast(floor(l_extendedprice * 100) AS bigint) AS price_cents,
+                 round(l_discount * 100, 1)                   AS discount_pct,
+                 cast(abs(l_quantity - 25) AS double)         AS qty_dev
+          FROM lineitem WHERE l_linenumber = 1
         """,
     }

@@ -285,7 +285,11 @@ def _make_kernel(cfg: AlignConfig, res: int):
         theme_id = pdf["theme_id"].iloc[0]
         theme_rings = rings_from_wkb(pdf["theme_wkb"].iloc[0])
         remark = ""
-        ref_wkbs = [b for b in pdf["ref_wkb"] if b is not None]
+        # dedupe: shared cells produce repeated (theme, ref) rows; doing
+        # it here replaces a full distinct() shuffle stage
+        ref_wkbs = list(
+            dict.fromkeys(bytes(b) for b in pdf["ref_wkb"] if b is not None)
+        )
         if len(ref_wkbs) > cfg.max_candidates_per_theme:
             ref_wkbs = ref_wkbs[: cfg.max_candidates_per_theme]
             remark = f"candidates_capped_at_{cfg.max_candidates_per_theme}"
@@ -393,23 +397,74 @@ def align(
     cfg = config or AlignConfig()
     max_rd = max(cfg.relevant_distances)
     res = cfg.cell_res if cfg.cell_res is not None else pick_resolution(max_rd)
+    dilate = 2.0 * max_rd * 1.01
 
-    pairs = candidate_pairs(
-        theme_df, ref_df, max_rd, res=res, broadcast_ref=broadcast_ref
+    # Fused candidate plan: both WKBs ride through the cell explode, so
+    # the whole job is ONE broadcast (or cell-shuffle) join plus ONE
+    # repartition by theme_id — no distinct, no join-back shuffles.
+    # Duplicate (theme, ref) pairs from shared cells are deduped inside
+    # the kernel (cheap python set) instead of a full shuffle stage.
+    from brdrq_spark.operators.candidates import with_geo_features
+
+    par = spark.sparkContext.defaultParallelism
+    if theme_df.rdd.getNumPartitions() < par:
+        theme_df = theme_df.repartition(par)
+    if ref_df.rdd.getNumPartitions() < par:
+        ref_df = ref_df.repartition(par)
+
+    t_cells = (
+        with_geo_features(
+            theme_df.select("theme_id", "geom_wkb"), "geom_wkb", res, dilate
+        )
+        .select(
+            "theme_id",
+            F.col("geom_wkb").alias("theme_wkb"),
+            F.col("minx").alias("t_minx"),
+            F.col("miny").alias("t_miny"),
+            F.col("maxx").alias("t_maxx"),
+            F.col("maxy").alias("t_maxy"),
+            F.explode_outer("cells").alias("cell"),
+        )
     )
-    t = theme_df.select("theme_id", F.col("geom_wkb").alias("theme_wkb"))
-    r = ref_df.select("ref_id", F.col("geom_wkb").alias("ref_wkb"))
-    # left join: themes with zero candidates still produce a result row
-    grouped = (
-        t.join(pairs, "theme_id", "left")
-        .join(r, "ref_id", "left")
-        .select("theme_id", "theme_wkb", "ref_wkb")
+    r_cells = (
+        with_geo_features(ref_df.select("ref_id", "geom_wkb"), "geom_wkb", res, 0.0)
+        .select(
+            F.col("ref_id"),
+            F.col("geom_wkb").alias("ref_wkb"),
+            F.col("minx").alias("r_minx"),
+            F.col("miny").alias("r_miny"),
+            F.col("maxx").alias("r_maxx"),
+            F.col("maxy").alias("r_maxy"),
+            F.explode("cells").alias("cell"),
+        )
     )
+    if broadcast_ref:
+        r_cells = F.broadcast(r_cells)
+
+    dx = F.greatest(
+        F.col("t_minx") - F.col("r_maxx"), F.col("r_minx") - F.col("t_maxx"), F.lit(0.0)
+    )
+    dy = F.greatest(
+        F.col("t_miny") - F.col("r_maxy"), F.col("r_miny") - F.col("t_maxy"), F.lit(0.0)
+    )
+    cand = t_cells.join(r_cells, "cell").where(
+        F.sqrt(dx * dx + dy * dy) <= F.lit(2.0 * max_rd)
+    )
+    # every theme emits a result row even with zero candidates (remark
+    # no_reference_candidates): union one bare row per theme — a no-op
+    # for matched themes (kernel drops null refs and dedupes)
+    grouped = cand.select("theme_id", "theme_wkb", "ref_wkb").unionByName(
+        theme_df.select(
+            "theme_id",
+            F.col("geom_wkb").alias("theme_wkb"),
+            F.lit(None).cast("binary").alias("ref_wkb"),
+        )
+    )
+
     # partition-streaming kernel: co-locate each theme's candidate rows,
     # sort so groups are contiguous, then stream whole partitions through
-    # one pandas iterator (see _make_stream_kernel)
-    # 4x parallelism: theme cost varies (candidate count, partial
-    # branches), so smaller partitions keep the stage tail short
-    n_part = spark.sparkContext.defaultParallelism * 4
+    # one pandas iterator (see _make_stream_kernel). 4x parallelism:
+    # theme cost varies, smaller partitions keep the stage tail short.
+    n_part = par * 4
     parts = grouped.repartition(n_part, "theme_id").sortWithinPartitions("theme_id")
     return parts.mapInPandas(_make_stream_kernel(cfg, res), schema=ALIGN_SCHEMA)

@@ -49,6 +49,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # sandbox tables are single small parquet files; the default 4MB
+        # open-cost makes Spark scan them with 1-4 tasks and serializes
+        # whole queries. On a cluster with >=128MB files these values
+        # produce the same splits as the defaults.
+        .config("spark.sql.files.openCostInBytes", "524288")
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
