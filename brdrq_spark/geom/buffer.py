@@ -25,15 +25,33 @@ from brdrq_spark.geom.clip import area_of_op, boolean_op, _trapezoids, trapezoid
 from brdrq_spark.geom.simplify import simplify_rings
 
 
+_UNIT_DISKS: dict[int, np.ndarray] = {}
+
+
+def _unit_disk(nseg: int) -> np.ndarray:
+    disk = _UNIT_DISKS.get(nseg)
+    if disk is None:
+        ang = np.linspace(0.0, 2.0 * np.pi, nseg, endpoint=False)
+        disk = np.column_stack([np.cos(ang), np.sin(ang)])
+        _UNIT_DISKS[nseg] = disk
+    return disk
+
+
 def _disk(cx: float, cy: float, d: float, nseg: int) -> np.ndarray:
-    ang = np.linspace(0.0, 2.0 * np.pi, nseg, endpoint=False)
-    return np.column_stack([cx + d * np.cos(ang), cy + d * np.sin(ang)])
+    return _unit_disk(nseg) * d + np.array([cx, cy])
 
 
 def boundary_capsules(
     rings: list[np.ndarray], d: float, nseg: int = 32
 ) -> list[np.ndarray]:
-    """CCW rings whose union is the d-neighborhood of the ring boundary."""
+    """Ring blocks whose union is the d-neighborhood of the boundary.
+
+    Vectorized per ring: one (n, 4, 2) block of edge rectangles (CCW)
+    and one (n, nseg, 2) block of vertex disks — the boolean engine's
+    edge collector consumes blocks without per-capsule Python.
+    """
+    from brdrq_spark.geom.core import rot1
+
     caps: list[np.ndarray] = []
     if d <= 0:
         return caps
@@ -42,25 +60,33 @@ def boundary_capsules(
         n = len(r)
         if n < 2:
             continue
-        r2 = np.roll(r, -1, axis=0)
+        r2 = rot1(r)
         dx = r2[:, 0] - r[:, 0]
         dy = r2[:, 1] - r[:, 1]
         ln = np.hypot(dx, dy)
-        for i in range(n):
-            if ln[i] > 0:
-                nx = -dy[i] / ln[i] * d
-                ny = dx[i] / ln[i] * d
-                rect = np.array(
-                    [
-                        [r[i, 0] + nx, r[i, 1] + ny],
-                        [r2[i, 0] + nx, r2[i, 1] + ny],
-                        [r2[i, 0] - nx, r2[i, 1] - ny],
-                        [r[i, 0] - nx, r[i, 1] - ny],
-                    ]
-                )
-                # ensure CCW
-                caps.append(rect if _ccw(rect) else rect[::-1])
-            caps.append(_disk(r[i, 0], r[i, 1], d, nseg))
+        ok = ln > 0
+        inv = np.where(ok, 1.0 / np.where(ok, ln, 1.0), 0.0)
+        nx = -dy * inv * d
+        ny = dx * inv * d
+        # rectangle per edge, oriented CCW for left-of-travel normals
+        rect = np.empty((n, 4, 2))
+        rect[:, 0, 0] = r[:, 0] + nx;  rect[:, 0, 1] = r[:, 1] + ny
+        rect[:, 1, 0] = r2[:, 0] + nx; rect[:, 1, 1] = r2[:, 1] + ny
+        rect[:, 2, 0] = r2[:, 0] - nx; rect[:, 2, 1] = r2[:, 1] - ny
+        rect[:, 3, 0] = r[:, 0] - nx;  rect[:, 3, 1] = r[:, 1] - ny
+        rect = rect[ok]
+        # shoelace per rectangle; flip CW ones
+        x = rect[:, :, 0]; y = rect[:, :, 1]
+        x2 = np.concatenate((x[:, 1:], x[:, :1]), axis=1)
+        y2 = np.concatenate((y[:, 1:], y[:, :1]), axis=1)
+        signed = ((x * y2) - (y * x2)).sum(axis=1)
+        cw = signed < 0
+        if cw.any():
+            rect[cw] = rect[cw, ::-1]
+        if len(rect):
+            caps.append(rect)
+        disks = _unit_disk(nseg)[None, :, :] * d + r[:, None, :]
+        caps.append(disks)
     return caps
 
 

@@ -42,11 +42,27 @@ _OPS = {
 
 
 def _collect_edges(rings: list[np.ndarray], tag: int, segs, tags):
+    """Gather non-horizontal edges. Accepts 2-D rings and 3-D ring
+    *blocks* (k, m, 2) — k same-length rings processed in one shot (the
+    buffer capsules arrive as blocks)."""
+    from brdrq_spark.geom.core import rot1
+
     for ring in rings:
+        if ring.ndim == 3:
+            r = np.round(ring * _INV_SNAP) * SNAP
+            r2 = np.concatenate((r[:, 1:], r[:, :1]), axis=1)
+            keep = (r[:, :, 1] != r2[:, :, 1]).ravel()
+            if keep.any():
+                flat = np.concatenate(
+                    (r.reshape(-1, 2), r2.reshape(-1, 2)), axis=1
+                )[keep]
+                segs.append(flat)
+                tags.append(np.full(len(flat), tag, dtype=np.int8))
+            continue
         r = snap_ring(ring)
         if len(r) < 3:
             continue
-        r2 = np.roll(r, -1, axis=0)
+        r2 = rot1(r)
         keep = r[:, 1] != r2[:, 1]  # horizontals never bound a beam interior
         if keep.any():
             segs.append(np.column_stack([r[keep], r2[keep]]))

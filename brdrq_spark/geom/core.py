@@ -32,13 +32,21 @@ def snap_ring(ring: np.ndarray) -> np.ndarray:
     return r
 
 
+def rot1(r: np.ndarray) -> np.ndarray:
+    """Ring rotated by one vertex (cheap np.roll replacement — np.roll
+    carries ~15us of Python axis-normalization per call, which dominates
+    in the boolean-op hot path)."""
+    return np.concatenate((r[1:], r[:1]))
+
+
 def ring_area(ring: np.ndarray) -> float:
     """Signed shoelace area (CCW positive)."""
     r = np.asarray(ring, dtype=np.float64)
     if len(r) < 3:
         return 0.0
     x, y = r[:, 0], r[:, 1]
-    return 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    x2, y2 = rot1(x), rot1(y)
+    return 0.5 * float(np.dot(x, y2) - np.dot(y, x2))
 
 
 def rings_area(rings: list[np.ndarray]) -> float:
@@ -50,7 +58,7 @@ def ring_perimeter(ring: np.ndarray) -> float:
     r = np.asarray(ring, dtype=np.float64)
     if len(r) < 2:
         return 0.0
-    d = np.roll(r, -1, axis=0) - r
+    d = rot1(r) - r
     return float(np.hypot(d[:, 0], d[:, 1]).sum())
 
 
@@ -95,7 +103,7 @@ def point_in_rings(pts: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
             continue
         x0 = r[:, 0][None, :]
         y0 = r[:, 1][None, :]
-        r2 = np.roll(r, -1, axis=0)
+        r2 = rot1(r)
         x1 = r2[:, 0][None, :]
         y1 = r2[:, 1][None, :]
         # upward crossings: y0 <= py < y1, point strictly left of edge
@@ -125,7 +133,7 @@ def _edges(rings: list[np.ndarray]) -> np.ndarray:
         r = np.asarray(r, dtype=np.float64)
         if len(r) < 2:
             continue
-        r2 = np.roll(r, -1, axis=0)
+        r2 = rot1(r)
         out.append(np.column_stack([r, r2]))
     if not out:
         return np.zeros((0, 4))
