@@ -43,6 +43,7 @@ def candidate_pairs(
     broadcast_ref: bool | None = None,
     theme_id: str = "theme_id",
     ref_id: str = "ref_id",
+    salt: int = 0,
 ) -> DataFrame:
     """Distinct (theme_id, ref_id) pairs within 2*max_rd of each other.
 
@@ -50,6 +51,15 @@ def candidate_pairs(
     mechanisms (J2/J3 use exactly 2 x max_rd). Returns the pair table
     only — callers join geometries back by key (cheap: co-partitioned on
     the same keys).
+
+    ``salt`` > 0 enables explicit hot-cell salting for the shuffle-join
+    path (reference O6: dense urban parcels produce hot cells,
+    docs/qa.qmd:19-40): the theme side's join key becomes
+    (cell, hash(theme_id) % salt) and the reference side replicates each
+    cell row ``salt`` times, so one dense cell spreads over ``salt``
+    shuffle partitions. Use when one cell dominates and AQE's skew
+    splitting (enabled by default) is not enough; pointless (and
+    ignored) with broadcast_ref.
     """
     if res is None:
         res = pick_resolution(max_rd)
@@ -88,6 +98,15 @@ def candidate_pairs(
             F.explode("cells").alias("cell"),
         )
     )
+    join_keys = ["cell"]
+    if salt > 0 and not broadcast_ref:
+        t = t.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(theme_id)), F.lit(salt)).cast("int")
+        )
+        r = r.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        ).withColumn("_salt", F.col("_salt").cast("int"))
+        join_keys = ["cell", "_salt"]
     if broadcast_ref:
         r = F.broadcast(r)
 
@@ -100,7 +119,7 @@ def candidate_pairs(
         F.col("t_miny") - F.col("r_maxy"), F.col("r_miny") - F.col("t_maxy"), F.lit(0.0)
     )
     pairs = (
-        t.join(r, "cell")
+        t.join(r, join_keys)
         .where(F.sqrt(dx * dx + dy * dy) <= F.lit(2.0 * max_rd))
         .select(theme_id, ref_id)
         .distinct()

@@ -35,6 +35,12 @@ STRATEGY_ALL = "ALL"
 STRATEGY_BEST = "BEST"
 STRATEGY_ORIGINAL = "ORIGINAL"
 
+# FullReferenceStrategy (reference enum brdrq_utils.py:184-185; semantics
+# cheatsheet p.2): keep-only / score-boost / ignore full-reference results
+FULL_REF_ONLY = "ONLY_FULL_REFERENCE"
+FULL_REF_PREFER = "PREFER_FULL_REFERENCE"
+FULL_REF_NO = "NO_FULL_REFERENCE"
+
 
 def distance_grid(max_rd: float, step: float = 0.1) -> list[float]:
     """The reference's prediction grid: 0 .. max_rd in `step` meters
@@ -108,6 +114,7 @@ def evaluate(
     config: AlignConfig | None = None,
     max_predictions: int = -1,
     prediction_strategy: str = STRATEGY_ALL,
+    full_reference_strategy: str = FULL_REF_NO,
     eps: float = 1e-3,
     min_stable: int = 2,
     broadcast_ref: bool | None = None,
@@ -122,6 +129,15 @@ def evaluate(
     scored = add_stability(aligned, eps=eps, min_stable=min_stable)
 
     preds = scored.filter(F.col("is_prediction"))
+    if full_reference_strategy == FULL_REF_ONLY:
+        preds = preds.filter(F.col("brdr_full_actual"))
+    elif full_reference_strategy == FULL_REF_PREFER:
+        preds = preds.withColumn(
+            "brdr_prediction_score",
+            F.when(
+                F.col("brdr_full_actual"), F.col("brdr_prediction_score") * 1.5
+            ).otherwise(F.col("brdr_prediction_score")),
+        )
     wbest = Window.partitionBy("theme_id").orderBy(
         F.desc("brdr_prediction_score"), F.asc("brdr_relevant_distance")
     )

@@ -1,0 +1,87 @@
+"""Hot-cell salting (SURVEY.md O6: dense areas make hot cells,
+reference docs/qa.qmd:19-40). The salted shuffle join must return the
+identical candidate set while spreading a dominant cell key over
+``salt`` sub-keys."""
+
+import numpy as np
+import pandas as pd
+
+from brdrq_spark.geom import rings_to_wkb
+from brdrq_spark.operators.candidates import candidate_pairs
+
+
+def _hot_cell_tables(spark, n_themes=60, n_refs=40):
+    """Everything crammed into one ~32 m cell: one dominant join key."""
+    rng = np.random.default_rng(5)
+    base = np.array([170500.0, 170500.0])
+    refs = []
+    for i in range(n_refs):
+        o = base + rng.uniform(0, 24, 2)
+        ring = np.array([o, o + [3, 0], o + [3, 3], o + [0, 3]])
+        refs.append({"ref_id": f"r{i:03d}", "geom_wkb": rings_to_wkb([ring])})
+    themes = []
+    for i in range(n_themes):
+        o = base + rng.uniform(0, 24, 2)
+        ring = np.array([o, o + [2, 0], o + [2, 2], o + [0, 2]])
+        themes.append({"theme_id": f"t{i:03d}", "geom_wkb": rings_to_wkb([ring])})
+    return (
+        spark.createDataFrame(pd.DataFrame(themes)),
+        spark.createDataFrame(pd.DataFrame(refs)),
+    )
+
+
+def test_salted_join_matches_unsalted(spark):
+    th, ref = _hot_cell_tables(spark)
+    plain = {
+        (r.theme_id, r.ref_id)
+        for r in candidate_pairs(th, ref, max_rd=2.0).collect()
+    }
+    salted = {
+        (r.theme_id, r.ref_id)
+        for r in candidate_pairs(th, ref, max_rd=2.0, salt=8).collect()
+    }
+    assert plain == salted
+    assert len(plain) > 100  # the hot cell really is dense
+
+
+def test_salt_ignored_with_broadcast(spark):
+    th, ref = _hot_cell_tables(spark, 10, 10)
+    a = {
+        (r.theme_id, r.ref_id)
+        for r in candidate_pairs(th, ref, max_rd=2.0, broadcast_ref=True, salt=8).collect()
+    }
+    b = {
+        (r.theme_id, r.ref_id)
+        for r in candidate_pairs(th, ref, max_rd=2.0, broadcast_ref=True).collect()
+    }
+    assert a == b
+
+
+def test_full_reference_strategies(spark):
+    from brdrq_spark.operators.evaluate import (
+        FULL_REF_ONLY,
+        FULL_REF_PREFER,
+        evaluate,
+    )
+    from brdrq_spark.sources.synthetic import reference_parcels, thematic_polygons
+
+    ref = spark.createDataFrame(reference_parcels(8, 8, seed=13))
+    th = spark.createDataFrame(thematic_polygons(4, 8, 8, seed=13, jitter=0.8))
+    base = evaluate(spark, th, ref, max_rd=2.0, step=0.5, broadcast_ref=True).collect()
+    only = evaluate(
+        spark, th, ref, max_rd=2.0, step=0.5, broadcast_ref=True,
+        full_reference_strategy=FULL_REF_ONLY,
+    ).collect()
+    prefer = evaluate(
+        spark, th, ref, max_rd=2.0, step=0.5, broadcast_ref=True,
+        full_reference_strategy=FULL_REF_PREFER,
+    ).collect()
+    assert all(r.brdr_full_actual for r in only)
+    assert len(only) <= len(base)
+    boosted = {
+        (r.theme_id, r.brdr_relevant_distance): r.brdr_prediction_score for r in prefer
+    }
+    for r in base:
+        k = (r.theme_id, r.brdr_relevant_distance)
+        if k in boosted and r.brdr_full_actual:
+            assert boosted[k] == r.brdr_prediction_score * 1.5
