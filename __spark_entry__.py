@@ -527,6 +527,31 @@ def q_image_invariants(spark, sf_dir):
     return verify_invariants(shuffled, images)
 
 
+def q_align_reference_fixture(spark, sf_dir):
+    """Golden parity: the reference plugin's own fixture scenario
+    (plugin/brdrq/test/test_autocorrectborders.py:221-264) — 2 thematic
+    polygons vs 342 CAPAKEY cadastral parcels at rd=2."""
+    from brdrq_spark.operators.align import AlignConfig, align
+    from brdrq_spark.sources.geojson import read_geojson
+
+    fx = "/root/reference/plugin/brdrq/test"
+    theme = read_geojson(
+        spark, f"{fx}/themelayer_test.geojson", id_field="theme_identifier"
+    ).select(F.col("feature_id").alias("theme_id"), "geom_wkb")
+    ref = read_geojson(
+        spark, f"{fx}/referencelayer_test.geojson", id_field="CAPAKEY"
+    ).select(F.col("feature_id").alias("ref_id"), "geom_wkb")
+    out = align(spark, theme, ref, AlignConfig(relevant_distances=[2.0]), broadcast_ref=True)
+    return out.select(
+        "theme_id",
+        "brdr_relevant_distance",
+        F.round("brdr_area", 2).alias("brdr_area"),
+        F.round("brdr_sym_diff_area_index_perc", 2).alias("sym_diff_perc"),
+        "brdr_nr_references",
+        F.size("cell_ids").alias("n_cells"),
+    )
+
+
 def q_evaluate_best(spark, sf_dir):
     """A9 BEST strategy: argmax prediction per feature."""
     from brdrq_spark.operators.evaluate import STRATEGY_BEST, evaluate
@@ -574,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bucketed": q_knn_bucketed,
         # geometry-native / engine-native (rows-only)
         "align_flagship": q_align_flagship,
+        "align_reference_fixture": q_align_reference_fixture,
         "footprint_extraction": q_footprint_extraction,
         "evaluate_prediction_sweep": q_evaluate_prediction_sweep,
         "evaluate_best_strategy": q_evaluate_best,

@@ -60,7 +60,7 @@ def geojson_geom_to_rings(geom: dict | None) -> list[np.ndarray]:
 
 def read_geojson(spark: SparkSession, path: str, id_field: str | None = None) -> DataFrame:
     """FeatureCollection file(s) → DataFrame(feature_id, geom_wkb, props)."""
-    files = spark.read.option("wholetext", "true").text(path)
+    files = spark.read.text(path, wholetext=True)
 
     def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
