@@ -19,6 +19,33 @@ from pyspark.sql import functions as F
 from brdrq_spark.operators.align import AlignConfig, align
 
 
+def lineage_from_metadata(
+    theme_df: DataFrame, metadata_col: str = "brdr_metadata"
+) -> DataFrame:
+    """Parse the SOSA actuation lineage the reference embeds per feature
+    (fixture plugin/brdrq/test/themelayer_metadata.geojson:
+    ``brdr_metadata.actuation.reference_geometries[].{version_date,
+    derived_from.id}``) into (theme_id, ref_id, version_date) rows —
+    JVM-side from_json + explode, no UDF."""
+    schema = (
+        "struct<actuation: struct<id: string, type: string,"
+        " reference_geometries: array<struct<id: string, type: string,"
+        " version_date: string,"
+        " derived_from: struct<id: string, type: string, source: string>>>>>"
+    )
+    parsed = theme_df.select(
+        "theme_id", F.from_json(F.col(metadata_col), schema).alias("_md")
+    )
+    return parsed.select(
+        "theme_id",
+        F.explode("_md.actuation.reference_geometries").alias("_rg"),
+    ).select(
+        "theme_id",
+        F.col("_rg.derived_from.id").alias("ref_id"),
+        F.col("_rg.version_date").alias("version_date"),
+    )
+
+
 def changed_themes(
     theme_lineage: DataFrame, ref_versions: DataFrame
 ) -> DataFrame:

@@ -70,7 +70,13 @@ def read_geojson(spark: SparkSession, path: str, id_field: str | None = None) ->
                 feats = fc.get("features", [])
                 for i, f in enumerate(feats):
                     props = {
-                        str(k): (None if v is None else str(v))
+                        str(k): (
+                            None
+                            if v is None
+                            else json.dumps(v)
+                            if isinstance(v, (dict, list))
+                            else str(v)
+                        )
                         for k, v in (f.get("properties") or {}).items()
                     }
                     fid = (
