@@ -44,14 +44,24 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5) -> DataFrame:
-    """Word k-shingles per document: (doc_id, shingle_hash:long)."""
+    """Distinct word k-shingles per document: (doc_id, shingle:long).
+
+    arrays_zip of k shifted slices + explode + one multi-arg xxhash64 —
+    stays on the codegen path. (A transform(...slice...) lambda looks
+    natural but Spark evaluates higher-order lambdas interpreted, per
+    element: ~20x slower on wide corpora.)
+    """
     words = F.split(normalize_text(F.col(text_col)), " ")
     n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(
-        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, k)))
+    m = F.greatest(n - (k - 1), F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(words, i + 1, m).alias(f"w{i}") for i in range(k)]
     )
-    return df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+    ex = df.select(F.col(id_col), F.explode(zipped).alias("_z"))
+    return ex.select(
+        F.col(id_col),
+        F.xxhash64(*[F.col(f"_z.w{i}") for i in range(k)]).alias("shingle"),
+    ).dropDuplicates([id_col, "shingle"])
 
 
 def minhash_signatures(
@@ -59,20 +69,19 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig:array<long>): minimum of seeded rehashes per permutation.
 
-    One explode of ``num_perm`` is a constant fan-out; min() is map-side
-    combinable so the shuffle carries (doc, perm, min) partials only.
+    num_perm parallel min() aggregates over the shingle rows — no perm
+    explosion, so the shuffle carries one map-side-combined partial row
+    per (doc, partition) instead of num_perm x shingles rows.
     """
-    perms = F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm")
-    h = F.xxhash64(F.col("shingle"), F.col("perm"))
-    return (
-        sh.select(F.col(id_col), F.col("shingle"), perms)
-        .withColumn("h", h)
-        .drop("shingle")
-        .groupBy(id_col, "perm")
-        .agg(F.min("h").alias("mh"))
-        .groupBy(id_col)
-        .agg(F.array_sort(F.collect_list(F.struct("perm", "mh"))).alias("_s"))
-        .select(id_col, F.col("_s.mh").alias("sig"))
+    hashed = sh.select(
+        F.col(id_col),
+        *[F.xxhash64(F.col("shingle"), F.lit(p)).alias(f"_h{p}") for p in range(num_perm)],
+    )
+    agg = hashed.groupBy(id_col).agg(
+        *[F.min(f"_h{p}").alias(f"_m{p}") for p in range(num_perm)]
+    )
+    return agg.select(
+        id_col, F.array(*[F.col(f"_m{p}") for p in range(num_perm)]).alias("sig")
     )
 
 
@@ -148,29 +157,28 @@ def ngram_jaccard(
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document: sign of the per-bit sum of token
-    hashes. Pure built-in expressions: explode words -> per-bit +/-1 via
-    shiftright & 1 -> sum -> reassemble bits."""
+    hashes. 64 parallel sum() aggregates over the word rows — no 64-way
+    bit explosion; one map-side-combined partial per (doc, partition)."""
     words = df.select(
         F.col(id_col), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w")
     ).where(F.col("w") != "")
     h = words.withColumn("h", F.xxhash64("w"))
-    bits = h.select(
-        id_col,
-        F.posexplode(
-            F.expr(
-                "transform(sequence(0, 63), "
-                "b -> CASE WHEN (h & shiftleft(1L, b)) != 0 THEN 1 ELSE -1 END)"
-            )
-        ).alias("bit", "sign"),
+    bit_sums = h.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h & shiftleft(1L, {b})) != 0"), 1).otherwise(-1)
+            ).alias(f"_b{b}")
+            for b in range(64)
+        ]
     )
-    agg = bits.groupBy(id_col, "bit").agg(F.sum("sign").alias("s"))
-    return agg.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
-    )
+    sim = None
+    for b in range(64):
+        weight = (1 << b) if b < 63 else -(1 << 63)  # top bit = long sign bit
+        term = F.when(F.col(f"_b{b}") > 0, F.lit(weight).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = term if sim is None else sim + term
+    return bit_sums.select(F.col(id_col), sim.alias("simhash"))
 
 
 def embedding_near_dup(
