@@ -76,6 +76,26 @@ def geo_features_udf(res: int, dilate: float = 0.0):
     return _feat
 
 
+@F.pandas_udf(T.StringType())
+def geom_type_udf(wkb: pd.Series) -> pd.Series:
+    """Geometry-type tag for P5 type filters / mixed-collection splits
+    (reference filter_geojson_by_geometry_type, brdrq_utils.py:841-859):
+    'MultiPolygon' | 'Polygon' | 'Empty' (by decoded ring structure)."""
+
+    def tag(b):
+        if not b:
+            return "Empty"
+        rings = rings_from_wkb(b)
+        if not rings:
+            return "Empty"
+        from brdrq_spark.geom.core import ring_area
+
+        outers = sum(1 for r in rings if ring_area(r) > 0)
+        return "MultiPolygon" if outers > 1 else "Polygon"
+
+    return wkb.map(tag)
+
+
 @F.pandas_udf(T.BinaryType())
 def make_valid_udf(wkb: pd.Series) -> pd.Series:
     """fixgeometries + Multi-promotion + dropMZ in one normalization pass

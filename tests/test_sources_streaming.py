@@ -81,3 +81,26 @@ def test_streaming_windowed_counts_matches_batch(spark, tmp_path):
             assert batch_rows[(r.win_start, r.event_type)] == (r.n, r.sum_value)
     finally:
         q.stop()
+
+
+def test_geom_type_filter(spark):
+    """P5: split/filter by geometry type (reference brdrq_utils.py:841-859)."""
+    import pandas as pd
+    import numpy as np
+
+    from brdrq_spark.functions import geom_type_udf
+    from brdrq_spark.geom import rings_to_wkb
+    from pyspark.sql import functions as F
+
+    sq = lambda x, s: np.array([[x, 0.0], [x + s, 0.0], [x + s, s], [x, s]])
+    rows = [
+        {"fid": 1, "geom_wkb": rings_to_wkb([sq(0, 5)])},                   # Polygon
+        {"fid": 2, "geom_wkb": rings_to_wkb([sq(0, 5), sq(20, 5)])},        # MultiPolygon
+        {"fid": 3, "geom_wkb": rings_to_wkb([])},                           # Empty
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows)).withColumn(
+        "geom_type", geom_type_udf(F.col("geom_wkb"))
+    )
+    got = {r.fid: r.geom_type for r in df.collect()}
+    assert got == {1: "Polygon", 2: "MultiPolygon", 3: "Empty"}
+    assert df.filter(F.col("geom_type") == "Polygon").count() == 1
