@@ -552,6 +552,34 @@ def q_align_reference_fixture(spark, sf_dir):
     )
 
 
+def q_align_lines_snap(spark, sf_dir):
+    """A10: experimental line/point alignment — vertex snapping to
+    reference boundaries with SnapStrategy semantics."""
+    import numpy as np
+    import pandas as pd
+
+    from brdrq_spark.geom.wkb import lines_to_wkb
+    from brdrq_spark.operators.snaplines import SNAP_NO_PREFERENCE, align_lines
+    from brdrq_spark.sources.synthetic import reference_parcels
+
+    ref = spark.createDataFrame(reference_parcels(6, 6, seed=3))
+    x = 170000.0 + 64.0
+    ys = np.linspace(170010.0, 170110.0, 21)
+    rng = np.random.default_rng(4)
+    line = np.column_stack([x + rng.uniform(-0.8, 0.8, len(ys)), ys])
+    th = spark.createDataFrame(
+        pd.DataFrame([{"theme_id": "line_1", "geom_wkb": lines_to_wkb([line])}])
+    )
+    out = align_lines(
+        spark, th, ref, relevant_distance=2.0,
+        snap_strategy=SNAP_NO_PREFERENCE, broadcast_ref=True,
+    )
+    return out.select(
+        "theme_id", "n_vertices", "n_snapped",
+        F.round("max_move", 3).alias("max_move"), "brdr_remark",
+    )
+
+
 def q_evaluate_best(spark, sf_dir):
     """A9 BEST strategy: argmax prediction per feature."""
     from brdrq_spark.operators.evaluate import STRATEGY_BEST, evaluate
@@ -600,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # geometry-native / engine-native (rows-only)
         "align_flagship": q_align_flagship,
         "align_reference_fixture": q_align_reference_fixture,
+        "align_lines_snap": q_align_lines_snap,
         "footprint_extraction": q_footprint_extraction,
         "evaluate_prediction_sweep": q_evaluate_prediction_sweep,
         "evaluate_best_strategy": q_evaluate_best,

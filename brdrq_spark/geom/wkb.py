@@ -37,7 +37,7 @@ class _Reader:
         return vals
 
 
-def _read_geometry(r: _Reader, rings: list[np.ndarray]) -> None:
+def _read_geometry(r: _Reader, rings: list[np.ndarray], lines=None) -> None:
     (byte_order,) = r.read("B")
     endian = "<" if byte_order == 1 else ">"
     (gtype,) = r.read(endian + "I")
@@ -63,16 +63,22 @@ def _read_geometry(r: _Reader, rings: list[np.ndarray]) -> None:
     elif base == _WKB_MULTIPOLYGON:
         (n,) = r.read(endian + "I")
         for _ in range(n):
-            _read_geometry(r, rings)
-    elif base in (_WKB_POINT,):
-        r.read(endian + "d" * ndim)  # points carry no ring content
-    elif base in (_WKB_LINESTRING,):
+            _read_geometry(r, rings, lines)
+    elif base == _WKB_POINT:
+        pt = r.read(endian + "d" * ndim)[:2]
+        if lines is not None:
+            lines.append(np.asarray([pt], dtype=np.float64))
+    elif base == _WKB_LINESTRING:
         (npts,) = r.read(endian + "I")
-        r.read(endian + "d" * (npts * ndim))
+        coords = np.asarray(
+            r.read(endian + "d" * (npts * ndim)), dtype=np.float64
+        ).reshape(npts, ndim)[:, :2]
+        if lines is not None and npts > 0:
+            lines.append(coords)
     elif base in (_WKB_MULTIPOINT, _WKB_MULTILINESTRING):
         (n,) = r.read(endian + "I")
         for _ in range(n):
-            _read_geometry(r, rings)
+            _read_geometry(r, rings, lines)
     else:
         raise ValueError(f"unsupported WKB geometry type {gtype}")
 
@@ -84,6 +90,36 @@ def rings_from_wkb(wkb: bytes | None) -> list[np.ndarray]:
     rings: list[np.ndarray] = []
     _read_geometry(_Reader(bytes(wkb)), rings)
     return rings
+
+
+def lines_from_wkb(wkb: bytes | None) -> list[np.ndarray]:
+    """Decode WKB (Multi)LineString/(Multi)Point to (n, 2) polylines
+    (points come back as 1-vertex polylines). Z/M dropped — the
+    reference's experimental lines/points support (CHANGES.md v0.11.0,
+    docs/qa.qmd:13-14)."""
+    if not wkb:
+        return []
+    rings: list[np.ndarray] = []
+    lines: list[np.ndarray] = []
+    _read_geometry(_Reader(bytes(wkb)), rings, lines)
+    return lines
+
+
+def lines_to_wkb(lines: list[np.ndarray]) -> bytes:
+    """Encode polylines as little-endian WKB MultiLineString (1-vertex
+    entries encode as a MultiPoint instead when all are points)."""
+    lines = [np.asarray(l, dtype=np.float64) for l in lines if len(l) > 0]
+    if lines and all(len(l) == 1 for l in lines):
+        parts = [struct.pack("<BII", 1, _WKB_MULTIPOINT, len(lines))]
+        for l in lines:
+            parts.append(struct.pack("<BI", 1, _WKB_POINT))
+            parts.append(l[0].astype("<f8").tobytes())
+        return b"".join(parts)
+    parts = [struct.pack("<BII", 1, _WKB_MULTILINESTRING, len(lines))]
+    for l in lines:
+        parts.append(struct.pack("<BII", 1, _WKB_LINESTRING, len(l)))
+        parts.append(l.astype("<f8").tobytes())
+    return b"".join(parts)
 
 
 def _group_polygons(rings: list[np.ndarray]) -> list[list[np.ndarray]]:
