@@ -235,6 +235,22 @@ def q_g5_minmax_events(spark, sf_dir):
     """)
 
 
+def q_pivot_status_matrix(spark, sf_dir):
+    """Pivot/unpivot shape: returnflag x linestatus quantity matrix
+    (DataFrame .pivot; mirrored as conditional aggregation in DuckDB)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .sum("l_quantity")
+        .select(
+            "l_returnflag",
+            F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("qty_o"),
+            F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("qty_f"),
+        )
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     from brdrq_spark.operators.dedup import exact_dedup
 
@@ -617,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f2_string_funcs": q_f2_string_funcs,
         "f3_date_buckets": q_f3_date_buckets,
         "f4_math_round": q_f4_math_round,
+        "pivot_status_matrix": q_pivot_status_matrix,
         "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
         "langid_heuristic": q_langid,
@@ -735,6 +752,14 @@ def oracle_sql() -> dict[str, str]:
           SELECT DISTINCT source FROM documents WHERE lang = 'en'
           EXCEPT
           SELECT DISTINCT source FROM documents WHERE lang = 'de'
+        """,
+        "pivot_status_matrix": """
+          SELECT l_returnflag,
+                 round(coalesce(sum(CASE WHEN l_linestatus = 'O'
+                                         THEN l_quantity END), 0), 2) AS qty_o,
+                 round(coalesce(sum(CASE WHEN l_linestatus = 'F'
+                                         THEN l_quantity END), 0), 2) AS qty_f
+          FROM lineitem GROUP BY l_returnflag
         """,
         "dedup_exact": """
           SELECT min(doc_id) AS doc_id, count(*) AS n_copies
