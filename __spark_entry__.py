@@ -280,9 +280,9 @@ def q_sessionize(spark, sf_dir):
     return spark.sql("""
       SELECT user_id, (sum(flag) + 1) AS n_sessions
       FROM (SELECT user_id,
-                   CASE WHEN unix_timestamp(ts) -
-                             lag(unix_timestamp(ts)) OVER
-                             (PARTITION BY user_id ORDER BY ts, event_id) > 600
+                   CASE WHEN unix_micros(cast(ts AS timestamp)) -
+                             lag(unix_micros(cast(ts AS timestamp))) OVER
+                             (PARTITION BY user_id ORDER BY ts, event_id) > 600000000
                         THEN 1 ELSE 0 END AS flag
             FROM events)
       GROUP BY user_id
@@ -741,9 +741,9 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": """
           SELECT user_id, (sum(flag) + 1) AS n_sessions
           FROM (SELECT user_id,
-                       CASE WHEN epoch(ts)::BIGINT -
-                                 lag(epoch(ts)::BIGINT) OVER
-                                 (PARTITION BY user_id ORDER BY ts, event_id) > 600
+                       CASE WHEN epoch_us(ts) -
+                                 lag(epoch_us(ts)) OVER
+                                 (PARTITION BY user_id ORDER BY ts, event_id) > 600000000
                             THEN 1 ELSE 0 END AS flag
                 FROM events) t
           GROUP BY user_id

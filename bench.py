@@ -84,30 +84,30 @@ def run_footprints(spark, paths) -> int:
     return extract_footprints(spark.read.parquet(paths["images"])).count()
 
 
-def scale_run(cpus: int, theme_path: str, ref_path: str) -> None:
+def scale_run(cpus: int, theme_path: str, ref_path: str, passes: int = 2) -> None:
     """Child-process entry: fresh JVM, warm-up align on a subset, then
-    the timed full align. Prints one JSON line."""
+    ``passes`` timed full aligns. Prints one JSON line with every sample.
+
+    Each level keeps its natural kernel partitioning (4x its core count
+    — measured faster than any pinned common value at both levels)."""
     from brdrq_spark.session import get_spark
 
     spark = get_spark(f"bench_scale_{cpus}", cpus=cpus)
-    paths = {"theme": theme_path, "ref": ref_path}
-    # warm-up on a prefix: spawns every python worker (the kernel stage
-    # has 4x-parallelism partitions), compiles codegen, builds the
-    # broadcast; the timed pass then measures steady-state throughput
     from brdrq_spark.operators.align import AlignConfig, align
 
+    cfg = AlignConfig(relevant_distances=[2.0])
     ref = spark.read.parquet(ref_path)
-    th_warm = spark.read.parquet(theme_path).limit(8 * cpus)
-    align(spark, th_warm, ref, AlignConfig(relevant_distances=[2.0]), broadcast_ref=True).count()
-    # best-of-3: the sandbox VM sees noisy-neighbor steal; the fastest
-    # pass is the steadiest estimate of actual capability
-    scale_paths = {"theme": theme_path, "ref": ref_path}
-    best = None
+    th = spark.read.parquet(theme_path)
+    # warm-up: spawns python workers, compiles codegen, builds broadcast
+    align(spark, th.limit(8 * cpus), ref, cfg, broadcast_ref=True).count()
+    samples = []
     n = 0
-    for _ in range(3):
-        t, n = timed(lambda: run_align(spark, scale_paths))
-        best = t if best is None else min(best, t)
-    print(json.dumps({"cpus": cpus, "sec": round(best, 3), "rows": n}))
+    for _ in range(passes):
+        t, n = timed(
+            lambda: align(spark, th, ref, cfg, broadcast_ref=True).count()
+        )
+        samples.append(round(t, 3))
+    print(json.dumps({"cpus": cpus, "samples": samples, "rows": n}))
     spark.stop()
 
 
@@ -206,13 +206,15 @@ def main():
         align_throughput = n_aligned / t_align if t_align > 0 else 0.0
 
         # --- scaling: identical align job at N and 4N threads, each in a
-        # fresh subprocess (own JVM) with a full warm-up pass, so neither
-        # run inherits the other's worker pool and both measure steady
-        # state. Primary pair N=CPUS/8 -> 4N=CPUS/2 stays inside the
-        # machine's memory-bandwidth-linear region — a single box cannot
-        # emulate 4x executors' 4x memory subsystems, so the full-machine
-        # pair (CPUS/4 -> CPUS) is reported as a secondary data point
-        # (see BASELINE.md "Sandbox scaling evidence").
+        # fresh subprocess (own JVM) with a full warm-up pass. The sandbox
+        # VM sees multi-minute noisy-neighbor windows (BASELINE.md), so the
+        # two levels run in ALTERNATING rounds (lo, hi, lo, hi) and each
+        # level takes the min across all its samples — a slow window then
+        # degrades both levels instead of silently skewing the ratio.
+        # Pair N=CPUS/8 -> 4N=CPUS/2 stays inside the machine's memory-
+        # bandwidth-linear region — a single box cannot emulate 4x
+        # executors' 4x memory subsystems, so the bare-kernel pair at full
+        # machine width is reported as the secondary data point.
         spark.stop()
         import subprocess
 
@@ -223,20 +225,33 @@ def main():
                 capture_output=True, text=True, timeout=900,
             )
             line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-            r = json.loads(line)
-            return {"sec": r["sec"], "rows_per_sec": round(r["rows"] / r["sec"], 2)}
+            return json.loads(line)
 
         lo = max(CPUS // 8, 1)
         hi = max(CPUS // 2, 2)
-        pts = {c: scale_point(c) for c in sorted({lo, hi})}
+        samples: dict[int, list[float]] = {lo: [], hi: []}
+        rows_scale = 0
+        for _round in range(3):
+            for c in (lo, hi):
+                r = scale_point(c)
+                samples[c].extend(r["samples"])
+                rows_scale = r["rows"]
+        pts = {
+            c: {
+                "sec": min(s),
+                "rows_per_sec": round(rows_scale / min(s), 2),
+                "samples": s,
+            }
+            for c, s in samples.items()
+        }
         scaling = {f"local[{c}]": v for c, v in pts.items()}
         eff = pts[hi]["rows_per_sec"] / ((hi / lo) * pts[lo]["rows_per_sec"])
         scaling["efficiency"] = round(eff, 3)
         scaling["n_over_4n"] = f"local[{lo}] -> local[{hi}]"
         scaling["note"] = (
-            "Spark pair stays in the box's bandwidth-linear region; "
-            "kernel_scaling isolates the hardware N->4N behavior at full "
-            "machine width (see BASELINE.md)"
+            "alternating-round min-of-6 per level (hypervisor noise "
+            "protocol, BASELINE.md); kernel_scaling isolates hardware "
+            "N->4N at full machine width"
         )
         # bare-kernel thread scaling: the same alignment kernel driven by
         # a plain process pool — no Spark scheduling/shuffle — isolates

@@ -81,6 +81,10 @@ class AlignConfig:
     max_candidates_per_theme: int = 2000  # admission control (O5 analogue)
     cell_res: int | None = None  # tile-assignment resolution; None = auto
     nseg: int = 8  # arc segments for erosion tests (speed/precision knob)
+    # kernel-stage partition count; None = 4x defaultParallelism. Pin it
+    # when comparing runs at different core counts so both levels see the
+    # same per-partition work (scaling evidence, BASELINE.md).
+    kernel_partitions: int | None = None
 
 
 ALIGN_SCHEMA = T.StructType(
@@ -380,21 +384,16 @@ def _make_kernel(cfg: AlignConfig, res: int):
     return kernel
 
 
-def align(
+def align_candidate_rows(
     spark: SparkSession,
     theme_df: DataFrame,
     ref_df: DataFrame,
-    config: AlignConfig | None = None,
+    cfg: AlignConfig,
     broadcast_ref: bool | None = None,
-) -> DataFrame:
-    """Distributed aligner.predict over a thematic and a reference table.
-
-    theme_df: (theme_id string, geom_wkb binary [, ...passthrough])
-    ref_df:   (ref_id string, geom_wkb binary [, ...])
-    Returns one row per (theme_id, relevant_distance) with the six
-    ProcessResult geometry slots + metric columns (FIXTURES.md §4).
-    """
-    cfg = config or AlignConfig()
+):
+    """Pre-kernel half of ``align``: the fused candidate plan, returned as
+    (grouped_rows, res). Exposed separately so benchmarks can time the
+    relational stage apart from the geometry kernel."""
     max_rd = max(cfg.relevant_distances)
     res = cfg.cell_res if cfg.cell_res is not None else pick_resolution(max_rd)
     dilate = 2.0 * max_rd * 1.01
@@ -460,11 +459,31 @@ def align(
             F.lit(None).cast("binary").alias("ref_wkb"),
         )
     )
+    return grouped, res
+
+
+def align(
+    spark: SparkSession,
+    theme_df: DataFrame,
+    ref_df: DataFrame,
+    config: AlignConfig | None = None,
+    broadcast_ref: bool | None = None,
+) -> DataFrame:
+    """Distributed aligner.predict over a thematic and a reference table.
+
+    theme_df: (theme_id string, geom_wkb binary [, ...passthrough])
+    ref_df:   (ref_id string, geom_wkb binary [, ...])
+    Returns one row per (theme_id, relevant_distance) with the six
+    ProcessResult geometry slots + metric columns (FIXTURES.md §4).
+    """
+    cfg = config or AlignConfig()
+    grouped, res = align_candidate_rows(spark, theme_df, ref_df, cfg, broadcast_ref)
 
     # partition-streaming kernel: co-locate each theme's candidate rows,
     # sort so groups are contiguous, then stream whole partitions through
     # one pandas iterator (see _make_stream_kernel). 4x parallelism:
     # theme cost varies, smaller partitions keep the stage tail short.
-    n_part = par * 4
+    par = spark.sparkContext.defaultParallelism
+    n_part = cfg.kernel_partitions or par * 4
     parts = grouped.repartition(n_part, "theme_id").sortWithinPartitions("theme_id")
     return parts.mapInPandas(_make_stream_kernel(cfg, res), schema=ALIGN_SCHEMA)
