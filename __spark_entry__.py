@@ -431,6 +431,54 @@ def q_classify_correction(spark, sf_dir):
     return classify_correction(th, ev).select("theme_id", "brdrq_state")
 
 
+def q_g4_correction_chain(spark, sf_dir):
+    """G4 full CASE chain, oracle-checked: drives the REAL
+    classify_correction operator (equality evals, stability routing,
+    multi-prediction to_review, sym thresholds, -1 blanking — reference
+    brdrq_utils.py:1263-1291, 1330-1349) with a deterministic evaluated
+    table derived from `orders`; the DuckDB oracle re-derives the same
+    states relationally."""
+    from brdrq_spark.geom import rings_to_wkb
+    from brdrq_spark.operators.classify import classify_correction
+    import numpy as np
+
+    _views(spark, sf_dir)
+    sq = rings_to_wkb(
+        [np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])]
+    )
+    o = spark.table("orders")
+    k = F.col("o_orderkey")
+    price = F.floor("o_totalprice").cast("bigint")
+    ev = o.filter(k % 23 != 0).select(
+        k.alias("theme_id"),
+        F.lit(1.0).alias("brdr_relevant_distance"),
+        F.when(k % 19 == 0, F.lit(None).cast("binary"))
+        .otherwise(F.lit(bytearray(sq)))
+        .alias("result_wkb"),
+        F.when(k % 13 == 0, "no_change")
+        .when(k % 13 == 1, "equality_by_id")
+        .otherwise("prediction_unique")
+        .alias("brdr_evaluation"),
+        F.when(k % 17 == 0, 0.0).otherwise(100.0).alias("brdr_area"),
+        (k % 11 != 0).alias("brdr_stability"),
+        (k % 5).cast("double").alias("brdr_prediction_score"),
+        ((price % 100) / 2.0).alias("brdr_sym_diff_area_index_perc"),
+        ((price % 100) / 200.0).alias("brdr_sym_diff_area_index"),
+        ((price % 7) / 100.0).alias("brdr_sym_diff_area"),
+    )
+    dup = ev.filter(F.col("theme_id") % 10 == 0).withColumn(
+        "brdr_prediction_score", F.col("brdr_prediction_score") - 1.0
+    ).withColumn("brdr_relevant_distance", F.lit(2.0))
+    theme = o.select(k.alias("theme_id"), F.lit(bytearray(sq)).alias("geom_wkb"))
+    out = classify_correction(theme, ev.unionByName(dup))
+    return out.select(
+        "theme_id",
+        "brdrq_state",
+        F.round("brdr_sym_diff_area", 2).alias("sym_area"),
+        F.round("brdr_sym_diff_area_index_perc", 2).alias("sym_perc"),
+    )
+
+
 def q_minhash_lsh(spark, sf_dir):
     from brdrq_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures, shingles
 
@@ -596,6 +644,58 @@ def q_align_lines_snap(spark, sf_dir):
     )
 
 
+def q_align_od_snap(spark, sf_dir):
+    """A6 OD SNAP strategies (reference default SNAP_ALL_SIDE,
+    plugin/brdrq/brdrq_settings.py:162; semantics
+    docs/autocorrectborders.md:188-193): themes overlap a south parcel
+    row and poke 0.5 m into a 1 m street; SNAP_ALL_SIDE snaps the street
+    frontage outward onto the north parcels, SNAP_SINGLE_SIDE keeps the
+    edge (outward snaps reverted)."""
+    import numpy as np
+    import pandas as pd
+
+    from brdrq_spark.geom import rings_to_wkb
+    from brdrq_spark.operators.align import (
+        OD_SNAP_ALL_SIDE,
+        OD_SNAP_SINGLE_SIDE,
+        AlignConfig,
+        align,
+    )
+
+    refs, themes = [], []
+    for i in range(6):
+        x0 = i * 12.0
+        for side, y0 in (("s", 0.0), ("n", 11.0)):
+            ring = np.array(
+                [[x0, y0], [x0 + 10.0, y0], [x0 + 10.0, y0 + 10.0], [x0, y0 + 10.0]]
+            )
+            refs.append({"ref_id": f"{side}_{i}", "geom_wkb": rings_to_wkb([ring])})
+        t = np.array(
+            [
+                [x0 + 1.0, 1.0],
+                [x0 + 9.0 + 0.1 * i, 1.0],
+                [x0 + 9.0 + 0.1 * i, 10.5],
+                [x0 + 1.0, 10.5],
+            ]
+        )
+        themes.append({"theme_id": f"t_{i}", "geom_wkb": rings_to_wkb([t])})
+    th = spark.createDataFrame(pd.DataFrame(themes))
+    ref = spark.createDataFrame(pd.DataFrame(refs))
+    outs = []
+    for strat in (OD_SNAP_ALL_SIDE, OD_SNAP_SINGLE_SIDE):
+        cfg = AlignConfig(relevant_distances=[2.0], od_strategy=strat)
+        outs.append(
+            align(spark, th, ref, cfg, broadcast_ref=True).select(
+                F.lit(strat).alias("od_strategy"),
+                "theme_id",
+                F.round("brdr_area", 2).alias("brdr_area"),
+                F.round("brdr_sym_diff_area_index_perc", 2).alias("sym_diff_perc"),
+                "brdr_nr_references",
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
 def q_evaluate_best(spark, sf_dir):
     """A9 BEST strategy: argmax prediction per feature."""
     from brdrq_spark.operators.evaluate import STRATEGY_BEST, evaluate
@@ -619,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p10_selection_semi_join": q_p10_selection_semi_join,
         "a13_changed_anti_join": q_a13_changed_anti_join,
         "g4_case_chain": q_g4_case_chain,
+        "g4_correction_chain": q_g4_correction_chain,
         "g7_state_counts": q_g7_state_counts,
         "w1_stability_runs": q_w1_stability_runs,
         "w2_best_argmax": q_w2_best_argmax,
@@ -646,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "align_flagship": q_align_flagship,
         "align_reference_fixture": q_align_reference_fixture,
         "align_lines_snap": q_align_lines_snap,
+        "align_od_snap": q_align_od_snap,
         "footprint_extraction": q_footprint_extraction,
         "evaluate_prediction_sweep": q_evaluate_prediction_sweep,
         "evaluate_best_strategy": q_evaluate_best,
@@ -693,6 +795,46 @@ def oracle_sql() -> dict[str, str]:
                       WHEN o_orderpriority LIKE '1%'                   THEN 'auto_updated'
                       ELSE 'none' END AS brdrq_state
           FROM orders
+        """,
+        "g4_correction_chain": """
+          WITH e AS (
+            SELECT o_orderkey AS theme_id,
+                   (o_orderkey % 23 = 0) AS no_pred,
+                   (o_orderkey % 10 = 0) AS multi,
+                   CASE WHEN o_orderkey % 13 = 0 THEN 'no_change'
+                        WHEN o_orderkey % 13 = 1 THEN 'equality_by_id'
+                        ELSE 'prediction_unique' END AS ev,
+                   ((o_orderkey % 19 = 0)
+                    OR (CASE WHEN o_orderkey % 17 = 0 THEN 0.0 ELSE 100.0 END) <= 0)
+                     AS empty_geom,
+                   (o_orderkey % 11 = 0) AS unstable,
+                   (floor(o_totalprice)::BIGINT % 100) / 2.0 AS sym_perc,
+                   (floor(o_totalprice)::BIGINT % 7) / 100.0 AS sym_area
+            FROM orders
+          ), f AS (
+            SELECT *,
+                   (ev = 'no_change') AS no_change,
+                   (ev LIKE 'equality%') AS eq
+            FROM e
+          ), g AS (
+            SELECT *,
+              (NOT no_change AND NOT eq AND (empty_geom OR unstable)) AS to_align,
+              (NOT no_change AND NOT eq AND NOT empty_geom AND NOT unstable
+               AND sym_perc > 10.0) AS review_sym,
+              (NOT no_change AND NOT eq AND NOT empty_geom AND NOT unstable
+               AND NOT (sym_perc > 10.0) AND sym_area < 0.01) AS small
+            FROM f
+          )
+          SELECT theme_id,
+            CASE WHEN no_pred OR to_align THEN 'to_update'
+                 WHEN multi OR review_sym THEN 'to_review'
+                 WHEN no_change OR small THEN 'not_changed'
+                 ELSE 'auto_updated' END AS brdrq_state,
+            round(CASE WHEN no_pred OR to_align THEN -1.0 ELSE sym_area END, 2)
+              AS sym_area,
+            round(CASE WHEN no_pred OR to_align THEN -1.0 ELSE sym_perc END, 2)
+              AS sym_perc
+          FROM g
         """,
         "g7_state_counts": """
           SELECT CASE WHEN o_orderstatus = 'F' AND o_totalprice < 1000 THEN 'not_changed'

@@ -20,8 +20,12 @@ For thematic polygon T, reference parcel R_i, relevant distance rd:
     parcel borders within reach, clipped to the parcel.
 Open-domain remainder OD = T \\ ∪R_i handled per od_strategy
 (docs/autocorrectborders.md:188-193): EXCLUDE drops it, AS_IS keeps it
-verbatim (SNAP_* variants: v2). Result cleaned by morphological
-closing+opening at correction_distance (0.01 m default,
+verbatim, SNAP_SINGLE_SIDE keeps it with its edges snapped onto
+reference boundaries only where the snap moves the edge to the INNER
+side of the thematic polygon, SNAP_ALL_SIDE (the reference default,
+brdrq_settings.py:162) snaps its edges to reference boundaries within
+rd on both sides. Result cleaned by morphological closing+opening at
+correction_distance (0.01 m default,
 brdrq_algorithm_autocorrectborders.py:193).
 
 Execution shape: candidate pairs (cell join) → geometries joined back →
@@ -44,6 +48,7 @@ from pyspark.sql import types as T
 
 from brdrq_spark.geom import (
     bbox,
+    bbox_distance,
     boolean_op,
     buffer_rings,
     rings_area,
@@ -61,6 +66,9 @@ _TINY = 1e-6  # m²; below = empty for relevance purposes
 
 OD_EXCLUDE = "EXCLUDE"
 OD_AS_IS = "AS_IS"
+OD_SNAP_SINGLE_SIDE = "SNAP_SINGLE_SIDE"
+OD_SNAP_ALL_SIDE = "SNAP_ALL_SIDE"
+_OD_SNAP_MODES = (OD_SNAP_SINGLE_SIDE, OD_SNAP_ALL_SIDE)
 
 
 @dataclass
@@ -70,7 +78,7 @@ class AlignConfig:
     brdrq_algorithm_autocorrectborders.py:192-193, 856)."""
 
     relevant_distances: list[float] = field(default_factory=lambda: [2.0])
-    od_strategy: str = OD_AS_IS
+    od_strategy: str = OD_SNAP_ALL_SIDE  # reference default, brdrq_settings.py:162
     threshold_overlap_percentage: float = 50.0
     correction_distance: float = 0.01
     # "snap": snap-round the result to a correction_distance/2 grid —
@@ -85,6 +93,10 @@ class AlignConfig:
     # when comparing runs at different core counts so both levels see the
     # same per-partition work (scaling evidence, BASELINE.md).
     kernel_partitions: int | None = None
+    # OD snap densification: no OD edge longer than this before snapping
+    # (reference snap_max_segment_length default 2,
+    # plugin/brdrq/brdrq_settings.py:294-304)
+    od_snap_max_segment_length: float = 2.0
 
 
 ALIGN_SCHEMA = T.StructType(
@@ -100,6 +112,7 @@ ALIGN_SCHEMA = T.StructType(
         T.StructField("brdr_area", T.DoubleType()),
         T.StructField("brdr_perimeter", T.DoubleType()),
         T.StructField("brdr_shape_index", T.DoubleType()),
+        T.StructField("brdr_sym_diff_area", T.DoubleType()),
         T.StructField("brdr_sym_diff_area_index", T.DoubleType()),
         T.StructField("brdr_sym_diff_area_index_perc", T.DoubleType()),
         T.StructField("brdr_diff_area_index", T.DoubleType()),
@@ -227,7 +240,36 @@ def _align_one(theme_rings, ref_ring_sets, rd: float, cfg: AlignConfig, pre=None
     }
 
 
-def _finalize(parts, theme_rings, ref_ring_sets, od_part, cfg: AlignConfig):
+def _snap_od(od_rings, all_ref_rings, theme_rings, rd: float, cfg: AlignConfig):
+    """Snap the OD remainder's edges onto nearby reference boundaries
+    (docs/autocorrectborders.md:188-193). Rings are densified (no segment
+    longer than od_snap_max_segment_length), then every vertex within rd
+    of a reference boundary moves to its nearest boundary point.
+    SNAP_SINGLE_SIDE additionally reverts any snap that would move the
+    edge OUTSIDE the thematic polygon (only inner-side movement allowed).
+    The snapped rings are re-normalized through a union pass (snapping
+    can fold edges)."""
+    if not od_rings or not all_ref_rings:
+        return list(od_rings)
+    from brdrq_spark.geom.core import _edges
+    from brdrq_spark.geom import point_in_rings
+    from brdrq_spark.operators.snaplines import _snap_vertices, densify
+
+    edges = _edges(all_ref_rings)
+    ref_verts = np.vstack(all_ref_rings)
+    out = []
+    for ring in od_rings:
+        closed = np.vstack([ring, ring[:1]])
+        dense = densify(closed, cfg.od_snap_max_segment_length)[:-1]
+        snapped, moved = _snap_vertices(dense, edges, ref_verts, rd, "NO_PREFERENCE")
+        if cfg.od_strategy == OD_SNAP_SINGLE_SIDE and moved.any():
+            revert = moved & ~point_in_rings(snapped, theme_rings)
+            snapped[revert] = dense[revert]
+        out.append(snapped)
+    return boolean_op(out, [], "union")
+
+
+def _finalize(parts, theme_rings, ref_ring_sets, od_part, rd: float, cfg: AlignConfig):
     """Expensive tail of the alignment: OD handling, final union,
     correction cleanup. Split from the decision loop so grid sweeps can
     cache-skip it when decisions repeat across distances."""
@@ -236,6 +278,8 @@ def _finalize(parts, theme_rings, ref_ring_sets, od_part, cfg: AlignConfig):
     all_refs = [r for refs in ref_ring_sets for r in refs]
     if cfg.od_strategy == OD_AS_IS:
         kept = kept + od_part
+    elif cfg.od_strategy in _OD_SNAP_MODES:
+        kept = kept + _snap_od(od_part, all_refs, theme_rings, rd, cfg)
     else:  # EXCLUDE
         rel_diff.extend(od_part)
 
@@ -295,7 +339,14 @@ def _make_kernel(cfg: AlignConfig, res: int):
             dict.fromkeys(bytes(b) for b in pdf["ref_wkb"] if b is not None)
         )
         if len(ref_wkbs) > cfg.max_candidates_per_theme:
-            ref_wkbs = ref_wkbs[: cfg.max_candidates_per_theme]
+            # deterministic admission: nearest-by-bbox first (then WKB
+            # bytes as tiebreak) so the kept set is independent of
+            # shuffle arrival order
+            tb = bbox(theme_rings)
+            ref_wkbs = sorted(
+                ref_wkbs,
+                key=lambda w: (bbox_distance(tb, bbox(rings_from_wkb(w))), w),
+            )[: cfg.max_candidates_per_theme]
             remark = f"candidates_capped_at_{cfg.max_candidates_per_theme}"
         ref_ring_sets = [rings_from_wkb(b) for b in ref_wkbs]
         ref_ring_sets = [r for r in ref_ring_sets if r]
@@ -321,6 +372,13 @@ def _make_kernel(cfg: AlignConfig, res: int):
 
         out = []
         cache: dict = {}
+        # OD snapping is rd-dependent whenever there is an OD remainder:
+        # such rows can never be cache-shared across grid distances
+        od_snaps = (
+            cfg.od_strategy in _OD_SNAP_MODES
+            and bool(od_part)
+            and bool(all_ref_rings)
+        )
         for rd in cfg.relevant_distances:
             parts = _align_one(theme_rings, ref_ring_sets, rd, cfg, pre=pre)
             key = parts["decision_key"]
@@ -331,7 +389,7 @@ def _make_kernel(cfg: AlignConfig, res: int):
                 row["brdr_relevant_distance"] = float(rd)
                 out.append(row)
                 continue
-            r = _finalize(parts, theme_rings, ref_ring_sets, od_part, cfg)
+            r = _finalize(parts, theme_rings, ref_ring_sets, od_part, rd, cfg)
             result = r["result"]
             a = rings_area(result)
             p = rings_perimeter(result)
@@ -362,6 +420,7 @@ def _make_kernel(cfg: AlignConfig, res: int):
                     "brdr_area": a,
                     "brdr_perimeter": p,
                     "brdr_shape_index": (p / a) if a > 0 else 0.0,
+                    "brdr_sym_diff_area": sym,
                     "brdr_sym_diff_area_index": (sym / t_area) if t_area > 0 else 0.0,
                     "brdr_sym_diff_area_index_perc": (100.0 * sym / t_area)
                     if t_area > 0
@@ -376,7 +435,7 @@ def _make_kernel(cfg: AlignConfig, res: int):
                     "cell_ids": cells,
                 }
             )
-            if not any(isinstance(d, tuple) for d in key):
+            if not any(isinstance(d, tuple) for d in key) and not od_snaps:
                 cache[key] = row  # no rd-dependent branch: reusable
             out.append(row)
         return pd.DataFrame(out)

@@ -86,11 +86,19 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", bands: int = 8
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    max_bucket_size: int = 500,
 ) -> DataFrame:
     """Band the signatures and self-join on (band, band_hash) buckets.
-    Returns distinct candidate pairs (a < b)."""
-    num_perm = bands  # rows per band inferred from sig length at runtime
+    Returns distinct candidate pairs (a < b).
+
+    ``max_bucket_size`` bounds the per-bucket quadratic blowup at scale:
+    a degenerate bucket (thousands of identical boilerplate docs) keeps
+    only its first ``max_bucket_size`` members by id — deterministic, and
+    pairs within the kept sample still mark the cluster as duplicated
+    (exact-hash dedup catches byte-identical members regardless)."""
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
@@ -113,6 +121,15 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "bucket"),
     )
+    if max_bucket_size and max_bucket_size > 0:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band", "bucket").orderBy(id_col)
+        banded = (
+            banded.withColumn("_rn", F.row_number().over(wb))
+            .filter(F.col("_rn") <= max_bucket_size)
+            .drop("_rn")
+        )
     left = banded.select(F.col(id_col).alias("a"), "band", "bucket")
     right = banded.select(F.col(id_col).alias("b"), "band", "bucket")
     return (

@@ -147,11 +147,18 @@ def evaluate(
     elif max_predictions and max_predictions > 0:
         preds = preds.filter(F.col("_rank") <= max_predictions)
     if prediction_strategy == STRATEGY_ORIGINAL:
-        # keep source geometry when several predictions compete
-        preds = preds.withColumn(
-            "result_wkb",
-            F.when(F.col("brdr_prediction_count") > 1, F.lit(None).cast("binary")).otherwise(
-                F.col("result_wkb")
-            ),
+        # several competing predictions -> keep the SOURCE geometry
+        # (reference brdrq_algorithm_common.py:123-130: "the ORIGINAL if
+        # there are multiple predictions")
+        src = theme_df.select("theme_id", F.col("geom_wkb").alias("_src_wkb"))
+        preds = (
+            preds.join(src, "theme_id", "left")
+            .withColumn(
+                "result_wkb",
+                F.when(
+                    F.col("brdr_prediction_count") > 1, F.col("_src_wkb")
+                ).otherwise(F.col("result_wkb")),
+            )
+            .drop("_src_wkb")
         )
     return preds.drop("_rank")

@@ -132,3 +132,42 @@ def test_align_no_candidates(spark):
     assert row.brdr_remark == "no_reference_candidates"
     # AS_IS: keeps the original geometry
     assert row.brdr_area == pytest.approx(100.0, abs=0.5)
+
+
+def test_od_snap_strategies_kernel():
+    """OD SNAP semantics (docs/autocorrectborders.md:188-193): theme
+    overhangs parcel A toward parcel B; the OD free edge at x=11.5 sits
+    0.5 m from B's boundary (x=12) and 1.5 m from A's (x=10).
+    SNAP_ALL_SIDE moves it outward onto B; SNAP_SINGLE_SIDE only allows
+    inner-side movement so the free edge stays."""
+    import pandas as pd
+
+    from brdrq_spark.geom import bbox, rings_from_wkb, rings_to_wkb
+    from brdrq_spark.operators.align import _make_kernel
+
+    A = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]])
+    B = np.array([[12.0, 0.0], [20.0, 0.0], [20.0, 10.0], [12.0, 10.0]])
+    T_ring = np.array([[2.0, 2.0], [11.5, 2.0], [11.5, 8.0], [2.0, 8.0]])
+
+    def run(strategy):
+        cfg = AlignConfig(relevant_distances=[2.0], od_strategy=strategy)
+        pdf = pd.DataFrame(
+            {
+                "theme_id": ["t"] * 2,
+                "theme_wkb": [rings_to_wkb([T_ring])] * 2,
+                "ref_wkb": [rings_to_wkb([A]), rings_to_wkb([B])],
+            }
+        )
+        row = _make_kernel(cfg, 10)(pdf).iloc[0]
+        return rings_from_wkb(row["result_wkb"])
+
+    all_side = run("SNAP_ALL_SIDE")
+    single = run("SNAP_SINGLE_SIDE")
+    as_is = run("AS_IS")
+    exclude = run("EXCLUDE")
+    assert bbox(all_side)[2] == pytest.approx(12.0, abs=0.05)
+    assert bbox(single)[2] == pytest.approx(11.5, abs=0.05)
+    assert bbox(as_is)[2] == pytest.approx(11.5, abs=0.05)
+    assert bbox(exclude)[2] == pytest.approx(10.0, abs=0.05)
+    # snapped OD still covers at least the AS_IS interior area
+    assert rings_area(all_side) >= rings_area(exclude)

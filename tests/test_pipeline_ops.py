@@ -163,3 +163,81 @@ def test_minhash_finds_planted_duplicates(spark):
     vgot = {(r.a, r.b) for r in verified}
     assert (1, 2) in vgot
     assert all(p != (1, 4) for p in vgot)
+
+
+def test_classify_one_row_per_feature_multi_prediction(spark):
+    """Reference brdrq_utils.py:1250-1253: a feature with several
+    prediction rows appears ONCE in the correction layer, as to_review."""
+    import pandas as pd
+    import numpy as np
+
+    from brdrq_spark.geom import rings_to_wkb
+
+    sq = rings_to_wkb([np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])])
+    th = spark.createDataFrame(
+        pd.DataFrame([{"theme_id": "t1", "geom_wkb": sq}])
+    )
+    ev_rows = [
+        {
+            "theme_id": "t1",
+            "result_wkb": sq,
+            "brdr_relevant_distance": rd,
+            "brdr_evaluation": "to_check_prediction_multi",
+            "brdr_sym_diff_area": 5.0,
+            "brdr_sym_diff_area_index_perc": 5.0,
+            "brdr_sym_diff_area_index": 0.05,
+            "brdr_area": 1.0,
+            "brdr_prediction_score": score,
+            "brdr_stability": True,
+        }
+        for rd, score in [(1.0, 3.0), (2.0, 2.0)]
+    ]
+    ev = spark.createDataFrame(pd.DataFrame(ev_rows))
+    out = classify_correction(th, ev).collect()
+    assert len(out) == 1
+    assert out[0].brdrq_state == "to_review"
+    # geometry still replaced (reference applies geometry_changes for
+    # every key not in ids_to_align, brdrq_utils.py:1330-1334)
+    assert bytes(out[0].geom_wkb) == sq
+
+
+def test_evaluate_original_strategy_restores_source(spark, small_tables):
+    """A9 ORIGINAL: multiple predictions -> the SOURCE geometry, not NULL
+    (reference brdrq_algorithm_common.py:123-130)."""
+    from brdrq_spark.operators.evaluate import STRATEGY_ORIGINAL
+
+    th, ref = small_tables
+    out = evaluate(
+        spark, th, ref, max_rd=2.0, step=0.5, broadcast_ref=True,
+        prediction_strategy=STRATEGY_ORIGINAL,
+    )
+    src = {r.theme_id: bytes(r.geom_wkb) for r in th.collect()}
+    for r in out.collect():
+        assert r.result_wkb is not None
+        if r.brdr_prediction_count > 1:
+            assert bytes(r.result_wkb) == src[r.theme_id]
+
+
+def test_lsh_degenerate_bucket_capped(spark):
+    """A bucket of thousands of identical docs must not go quadratic:
+    max_bucket_size bounds the pair count."""
+    import pandas as pd
+
+    from brdrq_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [f"d{i:05d}" for i in range(5000)],
+                "text": ["identical boilerplate text body for every doc"] * 5000,
+            }
+        )
+    )
+    sigs = minhash_signatures(shingles(docs, k=3), num_perm=16)
+    pairs = lsh_candidate_pairs(sigs, bands=8, max_bucket_size=100)
+    n = pairs.count()
+    assert 0 < n <= 100 * 99 // 2

@@ -102,3 +102,28 @@ def test_evaluate_fixture_predictions(spark, fixture_tables):
         assert r.brdr_stability and r.brdr_prediction_score >= 2
         assert r.brdr_evaluation in ("no_change", "prediction_unique",
                                      "to_check_prediction_multi")
+
+
+def test_align_deterministic_with_forced_low_cap(spark, fixture_tables):
+    """Candidate admission under max_candidates_per_theme is
+    deterministic: nearest-by-bbox-first, independent of shuffle arrival
+    order (ADVICE r1: dict.fromkeys kept arrival order)."""
+    theme, ref = fixture_tables
+    cfg = AlignConfig(relevant_distances=[2.0], max_candidates_per_theme=3)
+    runs = []
+    for tparts, rparts, bc in [(1, 1, True), (5, 7, False), (11, 3, False)]:
+        out = align(
+            spark,
+            theme.repartition(tparts),
+            ref.repartition(rparts),
+            cfg,
+            broadcast_ref=bc,
+        ).collect()
+        runs.append(
+            {
+                r.theme_id: (round(r.brdr_area, 9), r.brdr_remark)
+                for r in out
+            }
+        )
+    assert runs[0] == runs[1] == runs[2]
+    assert any("candidates_capped_at_3" in v[1] for v in runs[0].values())
