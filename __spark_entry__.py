@@ -479,6 +479,121 @@ def q_g4_correction_chain(spark, sf_dir):
     )
 
 
+def q_cell_cover(spark, sf_dir):
+    """Morton grid oracle: cell_of_points (brdrq_spark/grid.py — the
+    H3/S2-analogue tile assignment every spatial join keys on) vs the
+    same bit-interleave spelled out in DuckDB integer arithmetic.
+    Coordinates span negative/positive to exercise the bias."""
+    import pandas as pd
+
+    from brdrq_spark.grid import cell_of_points
+
+    _views(spark, sf_dir)
+
+    cell_udf = F.pandas_udf(
+        lambda x, y: pd.Series(cell_of_points(x.to_numpy(), y.to_numpy(), 10)),
+        "long",
+    )
+
+    o = spark.table("orders").select(
+        "o_orderkey",
+        ((F.col("o_orderkey") % 1000).cast("double") * 3.7 - 1850.0).alias("x"),
+        ((F.col("o_custkey") % 997).cast("double") * 2.3 - 1150.0).alias("y"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.round("x", 4).alias("x"),
+        F.round("y", 4).alias("y"),
+        cell_udf("x", "y").alias("cell_id"),
+    )
+
+
+def q_align_rect_closed_form(spark, sf_dir):
+    """Align metrics proven correct against closed-form values: themes
+    are 10x10 parcels shifted by dx = 0.1*(i%5) <= 0.4 m; at rd=2 the
+    uncovered strip erodes away so the FULL branch snaps each theme to
+    its parcel exactly (align.py semantics block) — area 100, perimeter
+    40, sym-diff 2*dx*10, one reference candidate."""
+    import numpy as np
+    import pandas as pd
+
+    from brdrq_spark.geom import rings_to_wkb
+    from brdrq_spark.operators.align import AlignConfig, align
+
+    def sq(x0):
+        return rings_to_wkb(
+            [np.array([[x0, 0.0], [x0 + 10.0, 0.0], [x0 + 10.0, 10.0], [x0, 10.0]])]
+        )
+
+    n = 40
+    ref = spark.createDataFrame(
+        pd.DataFrame(
+            [{"ref_id": f"r{i}", "geom_wkb": sq(20.0 * i)} for i in range(n)]
+        )
+    )
+    th = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"theme_id": f"t{i}", "geom_wkb": sq(20.0 * i + 0.1 * (i % 5))}
+                for i in range(n)
+            ]
+        )
+    )
+    cfg = AlignConfig(relevant_distances=[2.0], od_strategy="EXCLUDE")
+    out = align(spark, th, ref, cfg, broadcast_ref=True)
+    return out.select(
+        "theme_id",
+        F.round("brdr_area", 2).alias("brdr_area"),
+        F.round("brdr_perimeter", 2).alias("brdr_perimeter"),
+        F.round("brdr_sym_diff_area", 2).alias("sym_area"),
+        "brdr_nr_references",
+    )
+
+
+def q_sosa_lineage_roundtrip(spark, sf_dir):
+    """SOSA lineage round-trip, oracle-checked: align emits brdr_metadata
+    (reference writes it per output feature,
+    brdrq_algorithm_autocorrectborders.py:574-577; structure per fixture
+    plugin/brdrq/test/themelayer_metadata.geojson), then the temporal
+    operator parses the engine's OWN output back into lineage rows. The
+    closed-form rectangle fixture makes the expected rows trivial:
+    theme t_i derives exactly from parcel r_i at the ref version date."""
+    import numpy as np
+    import pandas as pd
+
+    from brdrq_spark.geom import rings_to_wkb
+    from brdrq_spark.operators.align import AlignConfig, align
+    from brdrq_spark.operators.temporal import lineage_from_metadata
+
+    def sq(x0):
+        return rings_to_wkb(
+            [np.array([[x0, 0.0], [x0 + 10.0, 0.0], [x0 + 10.0, 10.0], [x0, 10.0]])]
+        )
+
+    n = 40
+    ref = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"ref_id": f"r{i}", "geom_wkb": sq(20.0 * i), "VERSDATUM": "2024-01-01"}
+                for i in range(n)
+            ]
+        )
+    )
+    th = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"theme_id": f"t{i}", "geom_wkb": sq(20.0 * i + 0.1 * (i % 5))}
+                for i in range(n)
+            ]
+        )
+    )
+    cfg = AlignConfig(
+        relevant_distances=[2.0], od_strategy="EXCLUDE", emit_metadata=True
+    )
+    out = align(spark, th, ref, cfg, broadcast_ref=True)
+    return lineage_from_metadata(out)
+
+
 def q_minhash_lsh(spark, sf_dir):
     from brdrq_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures, shingles
 
@@ -740,6 +855,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_heuristic": q_langid,
         "token_counts": q_token_counts,
         "similarity_cosine": q_similarity_cosine,
+        "cell_cover": q_cell_cover,
+        "align_rect_closed_form": q_align_rect_closed_form,
+        "sosa_lineage_roundtrip": q_sosa_lineage_roundtrip,
         "minhash_lsh_candidates": q_minhash_lsh,
         "simhash_signatures": q_simhash,
         "knn_bucketed": q_knn_bucketed,
@@ -795,6 +913,52 @@ def oracle_sql() -> dict[str, str]:
                       WHEN o_orderpriority LIKE '1%'                   THEN 'auto_updated'
                       ELSE 'none' END AS brdrq_state
           FROM orders
+        """,
+        "cell_cover": """
+          WITH pts AS (
+            SELECT o_orderkey,
+                   (o_orderkey % 1000)::DOUBLE * 3.7 - 1850.0 AS x,
+                   (o_custkey % 997)::DOUBLE * 2.3 - 1150.0 AS y
+            FROM orders
+          ), idx AS (
+            -- cell indices: floor((coord + bias) / cell_size), res 10 ->
+            -- 32 m cells, bias 2^22 (brdrq_spark/grid.py:26-34, 73-78)
+            SELECT o_orderkey, x, y,
+                   floor((x + 4194304.0) / 32.0)::BIGINT AS ix,
+                   floor((y + 4194304.0) / 32.0)::BIGINT AS iy
+            FROM pts
+          ), sx AS (
+            -- Morton spread of ix (grid.py:50-59), stage by stage
+            SELECT *, (ix & 536870911) AS v FROM idx
+          ), sx1 AS (SELECT *, (v | (v << 16)) & 281470681808895 AS v1 FROM sx
+          ), sx2 AS (SELECT *, (v1 | (v1 << 8)) & 71777214294589695 AS v2 FROM sx1
+          ), sx3 AS (SELECT *, (v2 | (v2 << 4)) & 1085102592571150095 AS v3 FROM sx2
+          ), sx4 AS (SELECT *, (v3 | (v3 << 2)) & 3689348814741910323 AS v4 FROM sx3
+          ), sx5 AS (SELECT *, (v4 | (v4 << 1)) & 6148914691236517205 AS px FROM sx4
+          ), sy AS (SELECT *, (iy & 536870911) AS w FROM sx5
+          ), sy1 AS (SELECT *, (w | (w << 16)) & 281470681808895 AS w1 FROM sy
+          ), sy2 AS (SELECT *, (w1 | (w1 << 8)) & 71777214294589695 AS w2 FROM sy1
+          ), sy3 AS (SELECT *, (w2 | (w2 << 4)) & 1085102592571150095 AS w3 FROM sy2
+          ), sy4 AS (SELECT *, (w3 | (w3 << 2)) & 3689348814741910323 AS w4 FROM sy3
+          ), sy5 AS (SELECT *, (w4 | (w4 << 1)) & 6148914691236517205 AS py FROM sy4
+          )
+          SELECT o_orderkey, round(x, 4) AS x, round(y, 4) AS y,
+                 (px | (py << 1)) | (10::BIGINT << 58) AS cell_id
+          FROM sy5
+        """,
+        "align_rect_closed_form": """
+          SELECT 't' || i AS theme_id,
+                 100.0 AS brdr_area,
+                 40.0 AS brdr_perimeter,
+                 round(2.0 * (i % 5), 2) AS sym_area,
+                 1 AS brdr_nr_references
+          FROM range(40) t(i)
+        """,
+        "sosa_lineage_roundtrip": """
+          SELECT 't' || i AS theme_id,
+                 'r' || i AS ref_id,
+                 '2024-01-01' AS version_date
+          FROM range(40) t(i)
         """,
         "g4_correction_chain": """
           WITH e AS (

@@ -38,6 +38,7 @@ brdrq_dockwidget_featurealigner.py:1676-1688 — we hoist).
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -97,6 +98,12 @@ class AlignConfig:
     # (reference snap_max_segment_length default 2,
     # plugin/brdrq/brdrq_settings.py:294-304)
     od_snap_max_segment_length: float = 2.0
+    # SOSA actuation lineage emission (reference writes brdr_metadata per
+    # output feature, brdrq_algorithm_autocorrectborders.py:574-577;
+    # structure per fixture plugin/brdrq/test/themelayer_metadata.geojson)
+    emit_metadata: bool = False
+    ref_source: str = "brdrq_spark:reference"
+    ref_version_col: str = "VERSDATUM"
 
 
 ALIGN_SCHEMA = T.StructType(
@@ -121,6 +128,7 @@ ALIGN_SCHEMA = T.StructType(
         T.StructField("brdr_remark", T.StringType()),
         T.StructField("brdr_nr_references", T.IntegerType()),
         T.StructField("cell_ids", T.ArrayType(T.LongType())),
+        T.StructField("brdr_metadata", T.StringType()),
     ]
 )
 
@@ -334,10 +342,26 @@ def _make_kernel(cfg: AlignConfig, res: int):
         theme_rings = rings_from_wkb(pdf["theme_wkb"].iloc[0])
         remark = ""
         # dedupe: shared cells produce repeated (theme, ref) rows; doing
-        # it here replaces a full distinct() shuffle stage
-        ref_wkbs = list(
-            dict.fromkeys(bytes(b) for b in pdf["ref_wkb"] if b is not None)
-        )
+        # it here replaces a full distinct() shuffle stage. refmap keeps
+        # (ref_id, version_date) per candidate for lineage emission.
+        has_ids = "ref_id" in pdf.columns
+        refmap: dict = {}
+        if has_ids:
+            vers = pdf["ref_version"] if "ref_version" in pdf.columns else None
+            for i, b in enumerate(pdf["ref_wkb"]):
+                if b is None:
+                    continue
+                bb = bytes(b)
+                if bb not in refmap:
+                    refmap[bb] = (
+                        pdf["ref_id"].iloc[i],
+                        None if vers is None else vers.iloc[i],
+                    )
+            ref_wkbs = list(refmap)
+        else:
+            ref_wkbs = list(
+                dict.fromkeys(bytes(b) for b in pdf["ref_wkb"] if b is not None)
+            )
         if len(ref_wkbs) > cfg.max_candidates_per_theme:
             # deterministic admission: nearest-by-bbox first (then WKB
             # bytes as tiebreak) so the kept set is independent of
@@ -348,8 +372,10 @@ def _make_kernel(cfg: AlignConfig, res: int):
                 key=lambda w: (bbox_distance(tb, bbox(rings_from_wkb(w))), w),
             )[: cfg.max_candidates_per_theme]
             remark = f"candidates_capped_at_{cfg.max_candidates_per_theme}"
-        ref_ring_sets = [rings_from_wkb(b) for b in ref_wkbs]
-        ref_ring_sets = [r for r in ref_ring_sets if r]
+        decoded = [(rings_from_wkb(b), b) for b in ref_wkbs]
+        decoded = [(r, b) for r, b in decoded if r]
+        ref_ring_sets = [r for r, _ in decoded]
+        ref_infos = [refmap.get(b, (None, None)) for _, b in decoded]
         if not ref_ring_sets and not remark:
             remark = "no_reference_candidates"
 
@@ -389,6 +415,35 @@ def _make_kernel(cfg: AlignConfig, res: int):
                 row["brdr_relevant_distance"] = float(rd)
                 out.append(row)
                 continue
+            md = None
+            if cfg.emit_metadata and has_ids:
+                used = [
+                    ref_infos[i]
+                    for i, d in enumerate(key)
+                    if d in ("full", "sliver_in") or isinstance(d, tuple)
+                ]
+                md = json.dumps(
+                    {
+                        "actuation": {
+                            "id": f"brdrq:actuation:{theme_id}",
+                            "type": "sosa:Actuation",
+                            "reference_geometries": [
+                                {
+                                    "id": f"brdrq:result:{theme_id}:{rid}",
+                                    "type": "geo:MultiPolygon",
+                                    "version_date": rvd,
+                                    "derived_from": {
+                                        "id": rid,
+                                        "type": "geo:Feature",
+                                        "source": cfg.ref_source,
+                                    },
+                                }
+                                for rid, rvd in used
+                            ],
+                        }
+                    },
+                    sort_keys=True,
+                )
             r = _finalize(parts, theme_rings, ref_ring_sets, od_part, rd, cfg)
             result = r["result"]
             a = rings_area(result)
@@ -433,6 +488,7 @@ def _make_kernel(cfg: AlignConfig, res: int):
                     "brdr_remark": remark,
                     "brdr_nr_references": len(ref_ring_sets),
                     "cell_ids": cells,
+                    "brdr_metadata": md,
                 }
             )
             if not any(isinstance(d, tuple) for d in key) and not od_snaps:
@@ -484,10 +540,18 @@ def align_candidate_rows(
             F.explode_outer("cells").alias("cell"),
         )
     )
+    ref_ver = (
+        F.col(cfg.ref_version_col).cast("string")
+        if cfg.ref_version_col in ref_df.columns
+        else F.lit(None).cast("string")
+    ).alias("ref_version")
     r_cells = (
-        with_geo_features(ref_df.select("ref_id", "geom_wkb"), "geom_wkb", res, 0.0)
+        with_geo_features(
+            ref_df.select("ref_id", "geom_wkb", ref_ver), "geom_wkb", res, 0.0
+        )
         .select(
             F.col("ref_id"),
+            "ref_version",
             F.col("geom_wkb").alias("ref_wkb"),
             F.col("minx").alias("r_minx"),
             F.col("miny").alias("r_miny"),
@@ -511,11 +575,15 @@ def align_candidate_rows(
     # every theme emits a result row even with zero candidates (remark
     # no_reference_candidates): union one bare row per theme — a no-op
     # for matched themes (kernel drops null refs and dedupes)
-    grouped = cand.select("theme_id", "theme_wkb", "ref_wkb").unionByName(
+    grouped = cand.select(
+        "theme_id", "theme_wkb", "ref_wkb", "ref_id", "ref_version"
+    ).unionByName(
         theme_df.select(
             "theme_id",
             F.col("geom_wkb").alias("theme_wkb"),
             F.lit(None).cast("binary").alias("ref_wkb"),
+            F.lit(None).cast("string").alias("ref_id"),
+            F.lit(None).cast("string").alias("ref_version"),
         )
     )
     return grouped, res
