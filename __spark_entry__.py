@@ -811,6 +811,65 @@ def q_align_od_snap(spark, sf_dir):
     return outs[0].unionByName(outs[1])
 
 
+def q_align_dossier_network(spark, sf_dir):
+    """A2 NetworkGeometryProcessor on the reference's own dossier fixture
+    (plugin/brdrq/test/test_autocorrectborders.py:420-463: dossier_boom at
+    rd=10, ENUM_PROCESSOR=2). The sandbox has no GRB remote, so the
+    reference layer is the deterministic synthetic stand-in gridded under
+    the dossier extent (SURVEY S3-S6 scope)."""
+    import numpy as np
+    import pandas as pd
+
+    from brdrq_spark.geom import bbox, rings_from_wkb, rings_to_wkb
+    from brdrq_spark.operators.network import align_network
+    from brdrq_spark.sources.geojson import read_geojson
+
+    th = read_geojson(
+        spark,
+        "/root/reference/plugin/brdrq/test/dossier_boom.geojson",
+        id_field="dossiernummer",
+    ).select(F.col("feature_id").alias("theme_id"), "geom_wkb")
+    # deterministic parcel grid under the dossier bbox (20 m cells)
+    wkbs = [r.geom_wkb for r in th.collect()]
+    mnx, mny, mxx, mxy = bbox([ring for w in wkbs for ring in rings_from_wkb(w)])
+    step = 20.0
+    gx0, gy0 = step * np.floor(mnx / step) - step, step * np.floor(mny / step) - step
+    refs = []
+    nx = int((mxx - gx0) / step) + 2
+    ny = int((mxy - gy0) / step) + 2
+    for i in range(nx):
+        for j in range(ny):
+            x0, y0 = gx0 + i * step, gy0 + j * step
+            refs.append(
+                {
+                    "ref_id": f"g_{i}_{j}",
+                    "geom_wkb": rings_to_wkb(
+                        [
+                            np.array(
+                                [
+                                    [x0, y0],
+                                    [x0 + step, y0],
+                                    [x0 + step, y0 + step],
+                                    [x0, y0 + step],
+                                ]
+                            )
+                        ]
+                    ),
+                }
+            )
+    ref = spark.createDataFrame(pd.DataFrame(refs))
+    out = align_network(spark, th, ref, relevant_distance=10.0, broadcast_ref=True)
+    return out.select(
+        "theme_id",
+        "brdr_relevant_distance",
+        F.round("brdr_area", 2).alias("brdr_area"),
+        "n_vertices",
+        "n_snapped",
+        F.round("max_move", 3).alias("max_move"),
+        "brdr_nr_references",
+    )
+
+
 def q_evaluate_best(spark, sf_dir):
     """A9 BEST strategy: argmax prediction per feature."""
     from brdrq_spark.operators.evaluate import STRATEGY_BEST, evaluate
@@ -866,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "align_reference_fixture": q_align_reference_fixture,
         "align_lines_snap": q_align_lines_snap,
         "align_od_snap": q_align_od_snap,
+        "align_dossier_network": q_align_dossier_network,
         "footprint_extraction": q_footprint_extraction,
         "evaluate_prediction_sweep": q_evaluate_prediction_sweep,
         "evaluate_best_strategy": q_evaluate_best,

@@ -79,12 +79,20 @@ def geo_features_udf(res: int, dilate: float = 0.0):
 @F.pandas_udf(T.StringType())
 def geom_type_udf(wkb: pd.Series) -> pd.Series:
     """Geometry-type tag for P5 type filters / mixed-collection splits
-    (reference filter_geojson_by_geometry_type, brdrq_utils.py:841-859):
-    'MultiPolygon' | 'Polygon' | 'Empty' (by decoded ring structure)."""
+    (reference filter_geojson_by_geometry_type, brdrq_utils.py:841-859).
+    Point/line WKB (experimental reference support, docs/qa.qmd:13-14)
+    is tagged from the type word; polygon WKB by decoded ring structure:
+    'MultiPolygon' | 'Polygon' | '(Multi)LineString' | '(Multi)Point'
+    | 'Empty'."""
 
     def tag(b):
-        if not b:
+        if not b or len(b) < 5:
             return "Empty"
+        base = int.from_bytes(b[1:5], "little") % 1000
+        if base in (1, 4):  # Point / MultiPoint
+            return "Point" if base == 1 else "MultiPoint"
+        if base in (2, 5):  # LineString / MultiLineString
+            return "LineString" if base == 2 else "MultiLineString"
         rings = rings_from_wkb(b)
         if not rings:
             return "Empty"

@@ -35,6 +35,33 @@ GEOJSON_SCHEMA = T.StructType(
 )
 
 
+def geojson_geom_to_wkb(geom: dict | None) -> bytes:
+    """Any supported GeoJSON geometry → WKB. Polygons go through ring
+    normalization; (Multi)LineString / (Multi)Point (the reference's
+    experimental non-polygon support, docs/qa.qmd:13-14) encode directly."""
+    if geom is None:
+        return rings_to_wkb([])
+    gtype = geom.get("type", "")
+    coords = geom.get("coordinates", [])
+    if gtype in ("Polygon", "MultiPolygon") or not gtype:
+        return rings_to_wkb(geojson_geom_to_rings(geom))
+    from brdrq_spark.geom.wkb import lines_to_wkb
+
+    if gtype == "Point":
+        pts = [np.asarray([coords], dtype=np.float64)[:, :2]]
+        return lines_to_wkb(pts)
+    if gtype == "MultiPoint":
+        pts = [np.asarray([c], dtype=np.float64)[:, :2] for c in coords]
+        return lines_to_wkb(pts)
+    if gtype == "LineString":
+        return lines_to_wkb([np.asarray(coords, dtype=np.float64)[:, :2]])
+    if gtype == "MultiLineString":
+        return lines_to_wkb(
+            [np.asarray(c, dtype=np.float64)[:, :2] for c in coords]
+        )
+    return rings_to_wkb([])
+
+
 def geojson_geom_to_rings(geom: dict | None) -> list[np.ndarray]:
     """GeoJSON Polygon/MultiPolygon coordinates → normalized ring set."""
     if geom is None:
@@ -87,9 +114,7 @@ def read_geojson(spark: SparkSession, path: str, id_field: str | None = None) ->
                     rows.append(
                         {
                             "feature_id": fid,
-                            "geom_wkb": rings_to_wkb(
-                                geojson_geom_to_rings(f.get("geometry"))
-                            ),
+                            "geom_wkb": geojson_geom_to_wkb(f.get("geometry")),
                             "props": props,
                         }
                     )
@@ -110,9 +135,20 @@ def wkb_to_geojson_udf(wkb: pd.Series) -> pd.Series:
     return wkb.map(conv)
 
 
-def write_geojson(df: DataFrame, path: str, geom_col: str = "geom_wkb") -> None:
+def write_geojson(
+    df: DataFrame, path: str, geom_col: str = "geom_wkb", max_rows: int = 100_000
+) -> None:
     """Collect to a single FeatureCollection file (driver-side; result
-    layers are small — the distributed durable sink is Parquet)."""
+    layers are small — the distributed durable sink is Parquet).
+    ``max_rows`` guards against pointing this interop sink at a big
+    table: a FeatureCollection is one JSON object, inherently
+    driver-side — use the Parquet sink for anything larger."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"write_geojson is a small-result interop sink: {n} rows > "
+            f"max_rows={max_rows}; write Parquet instead"
+        )
     rows = df.withColumn("_gj", wkb_to_geojson_udf(F.col(geom_col))).collect()
     feats = []
     for r in rows:

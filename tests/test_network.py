@@ -1,0 +1,74 @@
+"""NetworkGeometryProcessor analogue (A2): shared-boundary topology
+preserved across adjacent features (reference dossier scenario,
+plugin/brdrq/test/test_autocorrectborders.py:420-463)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from brdrq_spark.geom import rings_area, rings_from_wkb, rings_to_wkb
+from brdrq_spark.geom.clip import area_of_op, boolean_op
+from brdrq_spark.geom.wkb import _group_polygons
+from brdrq_spark.operators.network import align_network
+
+
+def _rect(x0, y0, x1, y1):
+    return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
+
+
+def test_network_align_preserves_shared_edge(spark):
+    # two reference parcels sharing the border x=10; two adjacent themes
+    # sharing the (misdrawn) border x=10.4
+    ref = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"ref_id": "rA", "geom_wkb": rings_to_wkb([_rect(0, 0, 10, 10)])},
+                {"ref_id": "rB", "geom_wkb": rings_to_wkb([_rect(10, 0, 20, 10)])},
+            ]
+        )
+    )
+    th = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"theme_id": "A", "geom_wkb": rings_to_wkb([_rect(0.3, 0.2, 10.4, 9.7)])},
+                {"theme_id": "B", "geom_wkb": rings_to_wkb([_rect(10.4, 0.2, 19.6, 9.7)])},
+            ]
+        )
+    )
+    out = {
+        r.theme_id: rings_from_wkb(r.result_wkb)
+        for r in align_network(spark, th, ref, relevant_distance=2.0).collect()
+    }
+    a, b = out["A"], out["B"]
+    assert rings_area(a) > 0 and rings_area(b) > 0
+    # no overlap between the aligned neighbours...
+    assert area_of_op(a, b, "intersection") == pytest.approx(0.0, abs=1e-6)
+    # ...and no gap: the union is a single connected polygon
+    union = boolean_op(a + b, [], "union")
+    assert len(_group_polygons(union)) == 1
+    # both sides of the shared border snapped onto the reference edge x=10
+    ax = max(v[0] for ring in a for v in ring)
+    bx = min(v[0] for ring in b for v in ring)
+    assert ax == pytest.approx(10.0, abs=0.02)
+    assert bx == pytest.approx(10.0, abs=0.02)
+
+
+def test_network_align_multipolygon_parts_stay_adjacent(spark):
+    # one feature whose two parts share a border (the dossier shape):
+    # the shared border must stay shared after alignment
+    parts = [_rect(0.3, 0.2, 10.4, 9.7), _rect(10.4, 0.2, 19.6, 9.7)]
+    th = spark.createDataFrame(
+        pd.DataFrame([{"theme_id": "D", "geom_wkb": rings_to_wkb(parts)}])
+    )
+    ref = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"ref_id": "rA", "geom_wkb": rings_to_wkb([_rect(0, 0, 10, 10)])},
+                {"ref_id": "rB", "geom_wkb": rings_to_wkb([_rect(10, 0, 20, 10)])},
+            ]
+        )
+    )
+    row = align_network(spark, th, ref, relevant_distance=2.0).collect()[0]
+    res = rings_from_wkb(row.result_wkb)
+    assert len(_group_polygons(res)) == 1  # parts merged seamlessly (no gap)
+    assert row.n_snapped > 0

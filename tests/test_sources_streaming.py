@@ -104,3 +104,58 @@ def test_geom_type_filter(spark):
     got = {r.fid: r.geom_type for r in df.collect()}
     assert got == {1: "Polygon", 2: "MultiPolygon", 3: "Empty"}
     assert df.filter(F.col("geom_type") == "Polygon").count() == 1
+
+
+def test_geojson_reads_lines_and_points(spark, tmp_path):
+    """S1/P5: the reader handles the reference's experimental
+    (Multi)LineString/(Multi)Point features (docs/qa.qmd:13-14), and
+    geom_type_udf tags every type."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from brdrq_spark.functions import geom_type_udf
+    from brdrq_spark.sources.geojson import read_geojson
+
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "properties": {"nm": "pt"},
+             "geometry": {"type": "Point", "coordinates": [1.0, 2.0]}},
+            {"type": "Feature", "properties": {"nm": "mpt"},
+             "geometry": {"type": "MultiPoint",
+                          "coordinates": [[1.0, 2.0], [3.0, 4.0]]}},
+            {"type": "Feature", "properties": {"nm": "ln"},
+             "geometry": {"type": "LineString",
+                          "coordinates": [[0.0, 0.0], [5.0, 5.0]]}},
+            {"type": "Feature", "properties": {"nm": "mln"},
+             "geometry": {"type": "MultiLineString",
+                          "coordinates": [[[0.0, 0.0], [5.0, 5.0]],
+                                           [[6.0, 6.0], [9.0, 9.0]]]}},
+            {"type": "Feature", "properties": {"nm": "pg"},
+             "geometry": {"type": "Polygon",
+                          "coordinates": [[[0.0, 0.0], [4.0, 0.0],
+                                            [4.0, 4.0], [0.0, 4.0],
+                                            [0.0, 0.0]]]}},
+        ],
+    }
+    p = tmp_path / "mixed.geojson"
+    p.write_text(_json.dumps(fc))
+    df = read_geojson(spark, str(p), id_field="nm").withColumn(
+        "gt", geom_type_udf(F.col("geom_wkb"))
+    )
+    tags = {r.feature_id: r.gt for r in df.collect()}
+    # the reader Multi-promotes (P2 normalization, like the polygon path)
+    assert tags == {
+        "pt": "MultiPoint",
+        "mpt": "MultiPoint",
+        "ln": "MultiLineString",
+        "mln": "MultiLineString",
+        "pg": "Polygon",
+    }
+    # the line features round-trip into the snap-align kernel's decoder
+    from brdrq_spark.geom.wkb import lines_from_wkb
+
+    wkbs = {r.feature_id: bytes(r.geom_wkb) for r in df.collect()}
+    assert len(lines_from_wkb(wkbs["mln"])) == 2
+    assert lines_from_wkb(wkbs["ln"])[0].shape == (2, 2)
