@@ -111,13 +111,22 @@ def reference_parcels_v2(
 
 
 def thematic_polygons(
-    n: int = 50, nx: int = 64, ny: int = 64, seed: int = 42, jitter: float = 1.5
+    n: int = 50,
+    nx: int = 64,
+    ny: int = 64,
+    seed: int = 42,
+    jitter: float = 1.5,
+    node_seed: int | None = None,
 ) -> pd.DataFrame:
     """Thematic layer: n parcels re-drawn with vertex jitter of ±jitter m
     (alignment at rd >= 2*jitter should snap them back — mirrors the
     fixture themelayer_test.geojson, 0-3 m off the cadastral grid,
-    FIXTURES.md §1)."""
-    nodes = _nodes(nx, ny, seed)
+    FIXTURES.md §1). ``node_seed`` pins the underlying tessellation
+    independently of the jitter seed — pass the reference layer's seed
+    when generating extra jittered copies of the SAME grid (a different
+    node seed produces a mismatched tessellation whose themes straddle
+    many parcels: ~5x more partial-branch kernel work)."""
+    nodes = _nodes(nx, ny, seed if node_seed is None else node_seed)
     rng = np.random.default_rng(seed + 2)
     cells = rng.choice(nx * ny, size=n, replace=False)
     rows = []

@@ -39,9 +39,9 @@ def ensure_inputs(spark, n_themes: int) -> dict:
         while base > 0:
             take = min(base, GRID * GRID)
             reps.append(
-                thematic_polygons(take, GRID, GRID, seed=42 + k, jitter=1.0).assign(
-                    theme_id=lambda d, k=k: d.theme_id + f"_r{k}"
-                )
+                thematic_polygons(
+                    take, GRID, GRID, seed=42 + k, jitter=1.0, node_seed=42
+                ).assign(theme_id=lambda d, k=k: d.theme_id + f"_r{k}")
             )
             base -= take
             k += 1
