@@ -108,7 +108,7 @@ def run_footprints(spark, paths) -> int:
     return extract_footprints(spark.read.parquet(paths["images"])).count()
 
 
-def scale_run(cpus: int, theme_path: str, ref_path: str, passes: int = 2) -> None:
+def scale_run(cpus: int, theme_path: str, ref_path: str, passes: int = 1) -> None:
     """Child-process entry: fresh JVM, warm-up align on a subset, then
     ``passes`` timed full aligns. Prints one JSON line with every sample.
 
@@ -253,9 +253,12 @@ def main():
 
         lo = max(CPUS // 8, 1)
         hi = max(CPUS // 2, 2)
+        # 3 rounds x 1 pass samples three separate noise windows per
+        # level — better min-estimator coverage than 2 rounds x 2 passes
+        # at the same wall cost
         samples: dict[int, list[float]] = {lo: [], hi: []}
         rows_scale = 0
-        for _round in range(2):
+        for _round in range(3):
             for c in (lo, hi):
                 r = scale_point(c)
                 samples[c].extend(r["samples"])
@@ -273,7 +276,7 @@ def main():
         scaling["efficiency"] = round(eff, 3)
         scaling["n_over_4n"] = f"local[{lo}] -> local[{hi}]"
         scaling["note"] = (
-            "16384-theme job, alternating-round min-of-4 per level "
+            "16384-theme job, 3 alternating rounds, min per level "
             "(hypervisor noise protocol, BASELINE.md); kernel_scaling "
             "isolates hardware N->4N at full machine width"
         )

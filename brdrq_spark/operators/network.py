@@ -40,6 +40,51 @@ from brdrq_spark.geom.core import _edges
 from brdrq_spark.operators.align import AlignConfig, align_candidate_rows
 from brdrq_spark.operators.snaplines import SNAP_NO_PREFERENCE, _snap_vertices, densify
 
+# Processor ids mirror the reference enum (brdrq_utils.py:102-111; the
+# Dieussaert and Topology variants are commented out there and excluded
+# from ENUM_PROCESSOR_OPTIONS, so the in-scope surface is these three)
+PROCESSOR_ALIGNER = "2024:aligner2024a"
+PROCESSOR_SNAP = "2024:snap2024a"
+PROCESSOR_NETWORK = "2024:network2024a"
+
+
+def align_with_processor(
+    spark: SparkSession,
+    theme_df: DataFrame,
+    ref_df: DataFrame,
+    processor_id: str = PROCESSOR_ALIGNER,
+    relevant_distance: float = 2.0,
+    snap_strategy: str = SNAP_NO_PREFERENCE,
+    broadcast_ref: bool | None = None,
+):
+    """``get_processor_by_id`` analogue (brdrq_utils.py:212-230): route a
+    job to the area-based aligner kernel or the vertex-snap kernels.
+    Unknown ids fall back to the default AlignerGeometryProcessor, as the
+    reference does (brdrq_utils.py:217-220). SnapGeometryProcessor and
+    NetworkGeometryProcessor share the snap kernel — the network variant
+    IS the snap applied with the shared-boundary-consistent pure
+    function (module docstring); the reference exposes them as separate
+    strategies of the same brdr snapping machinery."""
+    if processor_id in (PROCESSOR_SNAP, PROCESSOR_NETWORK):
+        return align_network(
+            spark,
+            theme_df,
+            ref_df,
+            relevant_distance=relevant_distance,
+            snap_strategy=snap_strategy,
+            broadcast_ref=broadcast_ref,
+        )
+    from brdrq_spark.operators.align import align as _align
+
+    return _align(
+        spark,
+        theme_df,
+        ref_df,
+        AlignConfig(relevant_distances=[relevant_distance]),
+        broadcast_ref=broadcast_ref,
+    )
+
+
 NETWORK_SCHEMA = T.StructType(
     [
         T.StructField("theme_id", T.StringType()),

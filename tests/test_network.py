@@ -72,3 +72,32 @@ def test_network_align_multipolygon_parts_stay_adjacent(spark):
     res = rings_from_wkb(row.result_wkb)
     assert len(_group_polygons(res)) == 1  # parts merged seamlessly (no gap)
     assert row.n_snapped > 0
+
+
+def test_processor_dispatch(spark):
+    """A2: get_processor_by_id analogue routes ids to kernels; unknown
+    ids fall back to the default aligner (brdrq_utils.py:217-220)."""
+    from brdrq_spark.operators.network import (
+        PROCESSOR_NETWORK,
+        PROCESSOR_SNAP,
+        align_with_processor,
+    )
+
+    ref = spark.createDataFrame(
+        pd.DataFrame([{"ref_id": "r", "geom_wkb": rings_to_wkb([_rect(0, 0, 10, 10)])}])
+    )
+    th = spark.createDataFrame(
+        pd.DataFrame(
+            [{"theme_id": "t", "geom_wkb": rings_to_wkb([_rect(0.4, 0.3, 10.2, 9.8)])}]
+        )
+    )
+    for pid, col in [
+        (PROCESSOR_SNAP, "n_snapped"),
+        (PROCESSOR_NETWORK, "n_snapped"),
+        ("2024:aligner2024a", "brdr_full_actual"),
+        ("bogus-id", "brdr_full_actual"),
+    ]:
+        out = align_with_processor(spark, th, ref, processor_id=pid, relevant_distance=2.0)
+        assert col in out.columns
+        row = out.collect()[0]
+        assert rings_area(rings_from_wkb(row.result_wkb)) == pytest.approx(100.0, rel=0.02)
