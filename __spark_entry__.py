@@ -627,6 +627,66 @@ def q_knn_boundary(spark, sf_dir):
     )
 
 
+def q_knn_closed_form(spark, sf_dir):
+    """J6 kNN proven correct: themes are squares offset (dx, 0.15) from
+    their parcels; every vertex's 2 nearest boundary segments and exact
+    clamped point-segment distances are re-derivable relationally — the
+    DuckDB oracle enumerates the same vertices/segments and applies the
+    same clamp formula, including the corner TIE at vertex 2 broken by
+    seg_idx."""
+    import numpy as np
+    import pandas as pd
+
+    from brdrq_spark.geom import rings_to_wkb
+    from brdrq_spark.operators.knn import knn_boundary_segments
+
+    refs, themes = [], []
+    for i in range(40):
+        x0 = 20.0 * i
+        dx = 0.2 + 0.1 * (i % 5)
+        dy = 0.15
+        refs.append(
+            {
+                "ref_id": f"r{i}",
+                "geom_wkb": rings_to_wkb(
+                    [
+                        np.array(
+                            [[x0, 0.0], [x0 + 10.0, 0.0], [x0 + 10.0, 10.0], [x0, 10.0]]
+                        )
+                    ]
+                ),
+            }
+        )
+        themes.append(
+            {
+                "theme_id": f"t{i}",
+                "geom_wkb": rings_to_wkb(
+                    [
+                        np.array(
+                            [
+                                [x0 + dx, dy],
+                                [x0 + 10.0 + dx, dy],
+                                [x0 + 10.0 + dx, 10.0 + dy],
+                                [x0 + dx, 10.0 + dy],
+                            ]
+                        )
+                    ]
+                ),
+            }
+        )
+    th = spark.createDataFrame(pd.DataFrame(themes))
+    ref = spark.createDataFrame(pd.DataFrame(refs))
+    out = knn_boundary_segments(spark, th, ref, k=2, search_radius=8.0)
+    return out.select(
+        "theme_id",
+        F.col("vertex_idx").cast("bigint").alias("vertex_idx"),
+        "ref_id",
+        F.col("seg_idx").cast("bigint").alias("seg_idx"),
+        F.round("dist", 4).alias("dist"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
 def q_temporal_update(spark, sf_dir):
     """A13: anti-join on recorded lineage, re-align changed themes only."""
     import pandas as pd
@@ -917,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_cover": q_cell_cover,
         "align_rect_closed_form": q_align_rect_closed_form,
         "sosa_lineage_roundtrip": q_sosa_lineage_roundtrip,
+        "knn_closed_form": q_knn_closed_form,
         "minhash_lsh_candidates": q_minhash_lsh,
         "simhash_signatures": q_simhash,
         "knn_bucketed": q_knn_bucketed,
@@ -1019,6 +1080,53 @@ def oracle_sql() -> dict[str, str]:
                  'r' || i AS ref_id,
                  '2024-01-01' AS version_date
           FROM range(40) t(i)
+        """,
+        "knn_closed_form": """
+          WITH base AS (
+            SELECT i, 20.0 * i AS x0,
+                   0.2 + 0.1 * (i % 5) AS dx, 0.15::DOUBLE AS dy
+            FROM range(40) r(i)
+          ), v AS (
+            SELECT i, x0, vi,
+              CASE vi WHEN 0 THEN x0 + dx WHEN 1 THEN x0 + 10.0 + dx
+                      WHEN 2 THEN x0 + 10.0 + dx ELSE x0 + dx END AS px,
+              CASE vi WHEN 0 THEN dy WHEN 1 THEN dy
+                      ELSE 10.0 + dy END AS py
+            FROM base, range(4) q(vi)
+          ), e AS (
+            -- ring (x0,0)(x0+10,0)(x0+10,10)(x0,10): seg j = v_j -> v_j+1
+            SELECT i AS ei, si,
+              CASE si WHEN 0 THEN x0 WHEN 1 THEN x0 + 10.0
+                      WHEN 2 THEN x0 + 10.0 ELSE x0 END AS ax,
+              CASE si WHEN 0 THEN 0.0 WHEN 1 THEN 0.0
+                      WHEN 2 THEN 10.0 ELSE 10.0 END AS ay,
+              CASE si WHEN 0 THEN x0 + 10.0 WHEN 1 THEN x0 + 10.0
+                      WHEN 2 THEN x0 ELSE x0 END AS bx,
+              CASE si WHEN 0 THEN 0.0 WHEN 1 THEN 10.0
+                      WHEN 2 THEN 10.0 ELSE 0.0 END AS by
+            FROM base, range(4) q(si)
+          ), d AS (
+            SELECT v.i, v.vi, e.si,
+              sqrt(
+                (v.px - (e.ax + t.tt * (e.bx - e.ax))) ^ 2
+                + (v.py - (e.ay + t.tt * (e.by - e.ay))) ^ 2
+              ) AS dist
+            FROM v
+            JOIN e ON e.ei = v.i,
+            LATERAL (
+              SELECT greatest(0.0, least(1.0,
+                ((v.px - e.ax) * (e.bx - e.ax) + (v.py - e.ay) * (e.by - e.ay))
+                / ((e.bx - e.ax) ^ 2 + (e.by - e.ay) ^ 2))) AS tt
+            ) t
+          ), ranked AS (
+            SELECT i, vi, si, dist,
+                   row_number() OVER (PARTITION BY i, vi
+                                      ORDER BY dist, si) AS rk
+            FROM d WHERE dist <= 8.0
+          )
+          SELECT 't' || i AS theme_id, vi AS vertex_idx, 'r' || i AS ref_id,
+                 si AS seg_idx, round(dist, 4) AS dist, rk AS rank
+          FROM ranked WHERE rk <= 2
         """,
         "g4_correction_chain": """
           WITH e AS (

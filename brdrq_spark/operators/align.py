@@ -104,6 +104,11 @@ class AlignConfig:
     emit_metadata: bool = False
     ref_source: str = "brdrq_spark:reference"
     ref_version_col: str = "VERSDATUM"
+    # explicit hot-cell salting for the shuffle-join path (dense urban
+    # cells, reference qa.qmd:19-40): theme side keyed by
+    # (cell, hash(theme_id) % salt), reference rows replicated salt ways.
+    # 0 = rely on AQE skew splitting; ignored under broadcast_ref.
+    salt: int = 0
 
 
 ALIGN_SCHEMA = T.StructType(
@@ -560,6 +565,15 @@ def align_candidate_rows(
             F.explode("cells").alias("cell"),
         )
     )
+    join_keys = ["cell"]
+    if cfg.salt > 0 and not broadcast_ref:
+        t_cells = t_cells.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("theme_id")), F.lit(cfg.salt)).cast("int")
+        )
+        r_cells = r_cells.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(cfg.salt - 1)))
+        ).withColumn("_salt", F.col("_salt").cast("int"))
+        join_keys = ["cell", "_salt"]
     if broadcast_ref:
         r_cells = F.broadcast(r_cells)
 
@@ -569,7 +583,7 @@ def align_candidate_rows(
     dy = F.greatest(
         F.col("t_miny") - F.col("r_maxy"), F.col("r_miny") - F.col("t_maxy"), F.lit(0.0)
     )
-    cand = t_cells.join(r_cells, "cell").where(
+    cand = t_cells.join(r_cells, join_keys).where(
         F.sqrt(dx * dx + dy * dy) <= F.lit(2.0 * max_rd)
     )
     # every theme emits a result row even with zero candidates (remark
