@@ -687,6 +687,63 @@ def q_knn_closed_form(spark, sf_dir):
     )
 
 
+def q_streaming_sessionize(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user session windows with event-time gap timeout. Genuinely
+    non-SQL-expressible (keyed mutable state + timeouts) — the batch
+    mirror is the oracle-checked `sessionize_events`."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from brdrq_spark.streaming.events import run_stream_to_memory
+    from brdrq_spark.streaming.sessions import sessionize_stream
+
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    rows = []
+    for u in range(1, 9):
+        offs, t = [], 0
+        for j in range(6):
+            t += 100 if (u + j) % 3 else 700  # >600s gap starts a session
+            offs.append(t)
+        rows.extend({"ts": base + pd.Timedelta(seconds=o), "user_id": u} for o in offs)
+    pdf = pd.DataFrame(rows).sort_values("ts").reset_index(drop=True)
+    d = tempfile.mkdtemp(prefix="brdrq_sess_")
+    try:
+        third = len(pdf) // 3 + 1
+        for i in range(3):
+            part = pdf.iloc[i * third : (i + 1) * third]
+            if len(part):
+                part.to_parquet(
+                    f"{d}/part{i}.parquet", index=False, coerce_timestamps="us"
+                )
+        pd.DataFrame([{"ts": base + pd.Timedelta(days=2), "user_id": 999}]).to_parquet(
+            f"{d}/part9.parquet", index=False, coerce_timestamps="us"
+        )
+        schema = spark.read.parquet(d).schema
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+        )
+        out = sessionize_stream(stream, gap_seconds=600, watermark="0 seconds")
+        q = run_stream_to_memory(out, "q_sessions_out")
+        res = (
+            spark.table("q_sessions_out")
+            .filter(F.col("user_id") != 999)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_sessions"),
+                F.sum("n_events").alias("n_events"),
+            )
+            .orderBy("user_id")
+        )
+        rows_out = res.collect()
+        q.stop()
+        return spark.createDataFrame(rows_out, res.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_temporal_update(spark, sf_dir):
     """A13: anti-join on recorded lineage, re-align changed themes only."""
     import pandas as pd
@@ -992,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evaluate_best_strategy": q_evaluate_best,
         "classify_correction": q_classify_correction,
         "knn_boundary_segments": q_knn_boundary,
+        "streaming_sessionize": q_streaming_sessionize,
         "temporal_update": q_temporal_update,
         "resume_lineage": q_resume_lineage,
         "image_invariants": q_image_invariants,
@@ -1080,6 +1138,15 @@ def oracle_sql() -> dict[str, str]:
                  'r' || i AS ref_id,
                  '2024-01-01' AS version_date
           FROM range(40) t(i)
+        """,
+        "streaming_sessionize": """
+          -- generator mirror: user u's six events are 100s apart except a
+          -- 700s gap whenever (u+j)%3==0; j=0 never starts a new session,
+          -- so n_sessions = 1 + |{j in 1..5 : (u+j)%3==0}|
+          SELECT i AS user_id,
+                 (CASE WHEN i % 3 = 0 THEN 2 ELSE 3 END)::BIGINT AS n_sessions,
+                 6::BIGINT AS n_events
+          FROM range(1, 9) t(i)
         """,
         "knn_closed_form": """
           WITH base AS (

@@ -159,3 +159,52 @@ def test_geojson_reads_lines_and_points(spark, tmp_path):
     wkbs = {r.feature_id: bytes(r.geom_wkb) for r in df.collect()}
     assert len(lines_from_wkb(wkbs["mln"])) == 2
     assert lines_from_wkb(wkbs["ln"])[0].shape == (2, 2)
+
+
+def test_stateful_streaming_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState session windows == the batch
+    gaps-and-islands sessionization, once the watermark flushes all
+    state (sentinel event far in the future)."""
+    import pandas as pd
+
+    from brdrq_spark.streaming.events import run_stream_to_memory
+    from brdrq_spark.streaming.sessions import sessionize_stream
+
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    rows = []
+    # user 1: two sessions (gap 700s > 600s); user 2: one session
+    for u, offsets in [
+        (1, [0, 100, 200, 900 + 200, 900 + 300]),
+        (2, [50, 650, 1250]),  # 600s gaps exactly == gap -> one session
+    ]:
+        for o in offsets:
+            rows.append({"ts": base + pd.Timedelta(seconds=o), "user_id": u})
+    pdf = pd.DataFrame(rows).sort_values("ts")
+    d = tmp_path / "ev"
+    d.mkdir()
+    # time-ordered micro-batch files; sentinel advances the watermark far
+    # enough to flush every open session via event-time timeout
+    third = len(pdf) // 3 + 1
+    for i in range(3):
+        part = pdf.iloc[i * third : (i + 1) * third]
+        if len(part):
+            part.to_parquet(d / f"part{i}.parquet", index=False, coerce_timestamps="us")
+    pd.DataFrame(
+        [{"ts": base + pd.Timedelta(days=2), "user_id": 999}]
+    ).to_parquet(d / "part9.parquet", index=False, coerce_timestamps="us")
+
+    schema = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = sessionize_stream(stream, gap_seconds=600, watermark="0 seconds")
+    q = run_stream_to_memory(out, "sessions_out")
+    got = {
+        (r.user_id, r.n_events)
+        for r in spark.table("sessions_out").collect()
+        if r.user_id != 999
+    }
+    q.stop()
+    assert got == {(1, 3), (1, 2), (2, 3)}
