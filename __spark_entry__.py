@@ -594,6 +594,49 @@ def q_sosa_lineage_roundtrip(spark, sf_dir):
     return lineage_from_metadata(out)
 
 
+def q_diff_metrics_series(spark, sf_dir):
+    """G2: per-(theme, rd) difference-metric series (the FeatureAligner
+    plot data, brdrq_dockwidget_featurealigner.py:1690-1692) over the
+    closed-form rectangle fixture: every grid distance snaps to the full
+    parcel, so the series is flat — area 100, sym-diff 2*dx*10, zero
+    step delta (NULL at the first grid point)."""
+    import numpy as np
+    import pandas as pd
+
+    from brdrq_spark.geom import rings_to_wkb
+    from brdrq_spark.operators.align import AlignConfig, align
+    from brdrq_spark.operators.evaluate import diff_metrics_series
+
+    def sq(x0):
+        return rings_to_wkb(
+            [np.array([[x0, 0.0], [x0 + 10.0, 0.0], [x0 + 10.0, 10.0], [x0, 10.0]])]
+        )
+
+    n = 40
+    ref = spark.createDataFrame(
+        pd.DataFrame([{"ref_id": f"r{i}", "geom_wkb": sq(20.0 * i)} for i in range(n)])
+    )
+    th = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"theme_id": f"t{i}", "geom_wkb": sq(20.0 * i + 0.1 * (i % 5))}
+                for i in range(n)
+            ]
+        )
+    )
+    cfg = AlignConfig(relevant_distances=[0.5, 1.0, 2.0], od_strategy="EXCLUDE")
+    out = diff_metrics_series(align(spark, th, ref, cfg, broadcast_ref=True))
+    return out.select(
+        "theme_id",
+        "brdr_relevant_distance",
+        F.round("brdr_area", 2).alias("brdr_area"),
+        F.round("brdr_sym_diff_area", 2).alias("sym_area"),
+        F.round("brdr_sym_diff_area_index_perc", 2).alias("sym_perc"),
+        F.round("brdr_diff_area_index", 2).alias("diff_area_idx"),
+        F.round("delta_sym_diff_area", 2).alias("delta_sym"),
+    )
+
+
 def q_minhash_lsh(spark, sf_dir):
     from brdrq_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures, shingles
 
@@ -1033,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_cosine": q_similarity_cosine,
         "cell_cover": q_cell_cover,
         "align_rect_closed_form": q_align_rect_closed_form,
+        "diff_metrics_series": q_diff_metrics_series,
         "sosa_lineage_roundtrip": q_sosa_lineage_roundtrip,
         "knn_closed_form": q_knn_closed_form,
         "minhash_lsh_candidates": q_minhash_lsh,
@@ -1138,6 +1182,16 @@ def oracle_sql() -> dict[str, str]:
                  'r' || i AS ref_id,
                  '2024-01-01' AS version_date
           FROM range(40) t(i)
+        """,
+        "diff_metrics_series": """
+          SELECT 't' || i AS theme_id,
+                 rd AS brdr_relevant_distance,
+                 100.0 AS brdr_area,
+                 round(2.0 * (i % 5), 2) AS sym_area,
+                 round(2.0 * (i % 5), 2) AS sym_perc,
+                 0.0 AS diff_area_idx,
+                 CASE WHEN rd = 0.5 THEN NULL ELSE 0.0 END AS delta_sym
+          FROM range(40) t(i), (VALUES (0.5), (1.0), (2.0)) g(rd)
         """,
         "streaming_sessionize": """
           -- generator mirror: user u's six events are 100s apart except a

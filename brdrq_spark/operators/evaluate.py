@@ -105,6 +105,30 @@ def add_stability(
     return df.drop("_chg", "_run", "_rn_in_run", "_run_len")
 
 
+def diff_metrics_series(aligned: DataFrame) -> DataFrame:
+    """G2: the per-(theme, rd) difference-metric series behind the
+    FeatureAligner plot (reference
+    `aligner.get_difference_metrics_for_thematic_data`,
+    brdrq_dockwidget_featurealigner.py:1690-1692): one row per grid
+    distance with the absolute and relative diff metrics, plus the
+    step-to-step delta the stability detector consumes. Pure window
+    algebra over an align-grid output — no UDF, no extra kernel pass."""
+    w = Window.partitionBy("theme_id").orderBy("brdr_relevant_distance")
+    return aligned.select(
+        "theme_id",
+        "brdr_relevant_distance",
+        "brdr_area",
+        "brdr_sym_diff_area",
+        "brdr_sym_diff_area_index_perc",
+        "brdr_diff_area_index",
+        "brdr_diff_length_index",
+    ).withColumn(
+        "delta_sym_diff_area",
+        F.col("brdr_sym_diff_area")
+        - F.lag("brdr_sym_diff_area").over(w),
+    )
+
+
 def evaluate(
     spark: SparkSession,
     theme_df: DataFrame,
