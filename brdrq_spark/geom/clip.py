@@ -38,6 +38,9 @@ _OPS = {
     "intersection": lambda a, b: a & b,
     "difference": lambda a, b: a & ~b,
     "symdiff": lambda a, b: a ^ b,
+    # b \ a over the same (a, b) table — lets one table serve both
+    # directions of a difference (boolean_op_multi)
+    "rdifference": lambda a, b: b & ~a,
 }
 
 
@@ -118,30 +121,18 @@ def _intersection_ys(E: np.ndarray) -> np.ndarray:
     return np.round(yy * _INV_SNAP) * SNAP
 
 
-def _trapezoids(
-    a_rings: list[np.ndarray], b_rings: list[np.ndarray], op: str
-) -> np.ndarray:
-    """Decompose ``op(a, b)`` into trapezoids.
-
-    Returns an (n, 6) float array of rows (ylo, yhi, xl_lo, xr_lo,
-    xl_hi, xr_hi): the inside region between y=ylo and y=yhi bounded
-    left by segment (xl_lo,ylo)-(xl_hi,yhi) and right by
-    (xr_lo,ylo)-(xr_hi,yhi).
-
-    Fully vectorized across scanbeams: every (edge x spanned-beam) pair
-    becomes one row of a flat table, winding numbers are segmented
-    cumsums over beam groups, and trapezoid extraction is boolean run
-    detection — no per-beam Python loop (the geometry kernel's hot path
-    runs 32-way inside pandas UDF workers, where allocation churn is
-    the scaling limiter).
-    """
-    fn = _OPS[op]
+def _trap_table(a_rings: list[np.ndarray], b_rings: list[np.ndarray]):
+    """Shared scanbeam table for one (a, b) pair — the expensive half of
+    a boolean op (edge collection, crossing enumeration, beam spans,
+    winding cumsums). Returns None when there are no edges, else a tuple
+    consumed by ``_traps_from_table``; several ops over the SAME operand
+    pair reuse one table (``boolean_op_multi``)."""
     segs: list = []
     tags: list = []
     _collect_edges(a_rings, 0, segs, tags)
     _collect_edges(b_rings, 1, segs, tags)
     if not segs:
-        return np.zeros((0, 6))
+        return None
     E = np.vstack(segs)
     tag = np.concatenate(tags)
     x0 = E[:, 0]; y0 = E[:, 1]; x1 = E[:, 2]; y1 = E[:, 3]
@@ -151,7 +142,7 @@ def _trapezoids(
 
     events = np.unique(np.concatenate([ymin, ymax, _intersection_ys(E)]))
     if len(events) < 2:
-        return np.zeros((0, 6))
+        return None
 
     # --- flat (edge, beam) table -----------------------------------------
     i0 = np.searchsorted(events, ymin)  # endpoints are events: exact hits
@@ -159,7 +150,7 @@ def _trapezoids(
     cnt = i1 - i0
     total = int(cnt.sum())
     if total == 0:
-        return np.zeros((0, 6))
+        return None
     eidx = np.repeat(np.arange(len(E)), cnt)
     cum = np.concatenate(([0], np.cumsum(cnt)))
     bidx = np.repeat(i0, cnt) + (np.arange(total) - np.repeat(cum[:-1], cnt))
@@ -188,10 +179,22 @@ def _trapezoids(
     grp_id = np.cumsum(new_grp) - 1
     base_a = (wa[new_grp] - dwa[new_grp])[grp_id]
     base_b = (wb[new_grp] - dwb[new_grp])[grp_id]
-    inside = fn((wa - base_a) != 0, (wb - base_b) != 0)
+    ins_a = (wa - base_a) != 0
+    ins_b = (wb - base_b) != 0
     grp_end = np.empty(total, dtype=bool)
     grp_end[:-1] = new_grp[1:]
     grp_end[-1] = True
+    return events, bs, xlo_s, xhi_s, ins_a, ins_b, grp_end
+
+
+def _traps_from_table(tbl, op: str) -> np.ndarray:
+    """Extract ``op``'s trapezoids from a ``_trap_table`` result —
+    boolean run detection only, no edge work."""
+    if tbl is None:
+        return np.zeros((0, 6))
+    events, bs, xlo_s, xhi_s, ins_a, ins_b, grp_end = tbl
+    total = len(bs)
+    inside = _OPS[op](ins_a, ins_b)
     inside &= ~grp_end  # region right of a beam's last edge is outside
 
     # --- maximal inside runs -> trapezoids ---------------------------------
@@ -213,6 +216,26 @@ def _trapezoids(
     return np.column_stack(
         [t_ylo[keep], t_yhi[keep], l_lo[keep], r_lo[keep], l_hi[keep], r_hi[keep]]
     )
+
+
+def _trapezoids(
+    a_rings: list[np.ndarray], b_rings: list[np.ndarray], op: str
+) -> np.ndarray:
+    """Decompose ``op(a, b)`` into trapezoids.
+
+    Returns an (n, 6) float array of rows (ylo, yhi, xl_lo, xr_lo,
+    xl_hi, xr_hi): the inside region between y=ylo and y=yhi bounded
+    left by segment (xl_lo,ylo)-(xl_hi,yhi) and right by
+    (xr_lo,ylo)-(xr_hi,yhi).
+
+    Fully vectorized across scanbeams: every (edge x spanned-beam) pair
+    becomes one row of a flat table, winding numbers are segmented
+    cumsums over beam groups, and trapezoid extraction is boolean run
+    detection — no per-beam Python loop (the geometry kernel's hot path
+    runs 32-way inside pandas UDF workers, where allocation churn is
+    the scaling limiter).
+    """
+    return _traps_from_table(_trap_table(a_rings, b_rings), op)
 
 
 def trapezoid_area(traps) -> float:
@@ -410,6 +433,24 @@ def boolean_op(
         return []
     traps = _trapezoids(a_rings, b_rings, op)
     return _stitch(traps)
+
+
+def boolean_op_multi(
+    a_rings: list[np.ndarray], b_rings: list[np.ndarray], ops: tuple[str, ...]
+) -> list[list[np.ndarray]]:
+    """Several boolean ops over the SAME operand pair from ONE scanbeam
+    table — edge collection, crossing enumeration and winding cumsums
+    (the expensive ~60% of a pass) run once; each op adds only run
+    extraction + stitching. The alignment kernel uses this for
+    intersection+uncovered per candidate pair and for the
+    dplus/dmin/symdiff triple per result."""
+    for op in ops:
+        if op not in _OPS:
+            raise ValueError(f"unknown op {op!r}")
+    if not a_rings and not b_rings:
+        return [[] for _ in ops]
+    tbl = _trap_table(a_rings, b_rings)
+    return [_stitch(_traps_from_table(tbl, op)) for op in ops]
 
 
 def normalize(rings: list[np.ndarray]) -> list[np.ndarray]:

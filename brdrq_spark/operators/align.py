@@ -169,14 +169,20 @@ def _precompute_pairs(
     overlap %, and (for grid sweeps) the two inradii driving the branch
     decisions. Single-rd calls skip the inradius bisection — a direct
     erosion test at that rd is cheaper."""
+    from brdrq_spark.geom.clip import boolean_op_multi
+
     pre = []
     for refs in ref_ring_sets:
-        inter = boolean_op(theme_rings, refs, "intersection")
+        # one scanbeam table yields both the overlap and the uncovered
+        # parcel part (uncov = refs \ theme = rdifference on the same
+        # (theme, refs) table)
+        inter, uncov = boolean_op_multi(
+            theme_rings, refs, ("intersection", "rdifference")
+        )
         a_i = rings_area(inter)
         if a_i <= _TINY:
             pre.append(None)
             continue
-        uncov = boolean_op(refs, theme_rings, "difference")
         p = {
             "inter": inter,
             "uncov": uncov,
@@ -453,9 +459,14 @@ def _make_kernel(cfg: AlignConfig, res: int):
             result = r["result"]
             a = rings_area(result)
             p = rings_perimeter(result)
-            diff = boolean_op(result, theme_rings, "symdiff")
-            dplus = boolean_op(result, theme_rings, "difference")
-            dmin = boolean_op(theme_rings, result, "difference")
+            from brdrq_spark.geom.clip import boolean_op_multi
+
+            # one table for both difference directions; symdiff is their
+            # disjoint union, so its ring set is the plain concatenation
+            dplus, dmin = boolean_op_multi(
+                result, theme_rings, ("difference", "rdifference")
+            )
+            diff = dplus + dmin
             sym = rings_area(diff)
             full_actual = (
                 bool(r["all_refs"])
