@@ -35,6 +35,81 @@ def with_geo_features(
     return df.withColumn("_g", feat(F.col(geom_col))).select("*", "_g.*").drop("_g")
 
 
+def _fine_cells_udf(fine_res: int, dilate: float, prefix: str):
+    """Arrow-batched re-cover of (dilated bbox ∩ coarse cell) at a finer
+    resolution — the adaptive-split path for hot cells."""
+    import pandas as pd
+
+    from brdrq_spark.grid import cell_bounds, cell_cover_bbox
+
+    def fine(cell, mnx, mny, mxx, mxy):
+        out = []
+        for c, a, b, cc, d in zip(cell, mnx, mny, mxx, mxy):
+            cb = cell_bounds(int(c))
+            x0 = max(a - dilate, cb[0])
+            y0 = max(b - dilate, cb[1])
+            x1 = min(cc + dilate, cb[2])
+            y1 = min(d + dilate, cb[3])
+            out.append(
+                cell_cover_bbox(x0, y0, x1, y1, fine_res).tolist()
+                if x0 <= x1 and y0 <= y1
+                else []
+            )
+        return pd.Series(out)
+
+    return F.pandas_udf(fine, "array<long>")
+
+
+def split_hot_cells(
+    t: DataFrame,
+    r: DataFrame,
+    res: int,
+    dilate: float,
+    threshold: int,
+    split: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Adaptive cell-level splitting of hot cells (north_star: dense
+    urban parcels): cells whose REFERENCE density exceeds ``threshold``
+    re-index BOTH sides at res+split inside the cell, so one dense cell's
+    candidate pairs spread over up to 4^split finer join keys instead of
+    one. Cold rows keep their coarse key; fine ids embed the resolution,
+    so mixed-resolution keys can never cross-match. Recall is preserved:
+    any true pair's bbox intersection lies in some cell both sides cover,
+    and within that cell both sides cover the intersection at the SAME
+    (fine) resolution.
+
+    Inputs are the exploded cell tables built by candidate_pairs /
+    align_candidate_rows with bbox columns prefixed t_/r_.
+    """
+    counts = (
+        r.groupBy("cell").agg(F.count(F.lit(1)).alias("_n")).filter(
+            F.col("_n") > threshold
+        )
+    )
+    hot = F.broadcast(counts.select("cell", F.lit(True).alias("_hot")))
+
+    def expand(df: DataFrame, prefix: str, dil: float) -> DataFrame:
+        df = df.join(hot, "cell", "left")
+        cold = df.filter(F.col("_hot").isNull()).drop("_hot")
+        hotr = df.filter(F.col("_hot").isNotNull()).drop("_hot")
+        fine = _fine_cells_udf(res + split, dil, prefix)
+        hotr = hotr.withColumn(
+            "cell",
+            F.explode(
+                fine(
+                    F.col("cell"),
+                    F.col(f"{prefix}minx"),
+                    F.col(f"{prefix}miny"),
+                    F.col(f"{prefix}maxx"),
+                    F.col(f"{prefix}maxy"),
+                )
+            ),
+        )
+        return cold.unionByName(hotr)
+
+    return expand(t, "t_", dilate), expand(r, "r_", 0.0)
+
+
 def candidate_pairs(
     theme_df: DataFrame,
     ref_df: DataFrame,
@@ -44,6 +119,8 @@ def candidate_pairs(
     theme_id: str = "theme_id",
     ref_id: str = "ref_id",
     salt: int = 0,
+    hot_cell_threshold: int | None = None,
+    hot_split: int = 2,
 ) -> DataFrame:
     """Distinct (theme_id, ref_id) pairs within 2*max_rd of each other.
 
@@ -98,6 +175,10 @@ def candidate_pairs(
             F.explode("cells").alias("cell"),
         )
     )
+    if hot_cell_threshold is not None and not broadcast_ref:
+        t, r = split_hot_cells(
+            t, r, res, dilate, hot_cell_threshold, hot_split
+        )
     join_keys = ["cell"]
     if salt > 0 and not broadcast_ref:
         t = t.withColumn(

@@ -113,3 +113,49 @@ def test_align_fused_path_salting_same_output(spark):
         ).collect()
     }
     assert plain == salted and len(plain) == 12
+
+
+def test_adaptive_hot_cell_split_same_pairs(spark):
+    """north_star: adaptive cell-level splitting of hot cells — one
+    dense cell's pairs spread over finer join keys with IDENTICAL
+    candidate output."""
+    import numpy as np
+    import pandas as pd
+
+    from brdrq_spark.geom import rings_to_wkb
+    from brdrq_spark.operators.candidates import candidate_pairs
+
+    rng = np.random.default_rng(11)
+
+    def small_sq(cx, cy, s=1.2):
+        return rings_to_wkb(
+            [np.array([[cx, cy], [cx + s, cy], [cx + s, cy + s], [cx, cy + s]])]
+        )
+
+    # 120 tiny parcels crammed into one 32 m cell (dense urban block) +
+    # a sparse ring elsewhere
+    refs = [
+        {"ref_id": f"d{i}", "geom_wkb": small_sq(4.0 + 2.5 * (i % 10), 4.0 + 2.5 * (i // 10))}
+        for i in range(120)
+    ] + [
+        {"ref_id": f"s{i}", "geom_wkb": small_sq(200.0 + 40.0 * i, 5.0)}
+        for i in range(5)
+    ]
+    themes = [
+        {"theme_id": f"t{i}", "geom_wkb": small_sq(4.5 + 2.5 * (i % 10), 4.5 + 2.5 * (i // 10))}
+        for i in range(60)
+    ]
+    ref = spark.createDataFrame(pd.DataFrame(refs))
+    th = spark.createDataFrame(pd.DataFrame(themes))
+
+    base = {
+        (r.theme_id, r.ref_id)
+        for r in candidate_pairs(th, ref, max_rd=2.0, broadcast_ref=False).collect()
+    }
+    adaptive = {
+        (r.theme_id, r.ref_id)
+        for r in candidate_pairs(
+            th, ref, max_rd=2.0, broadcast_ref=False, hot_cell_threshold=20
+        ).collect()
+    }
+    assert adaptive == base and len(base) > 100
