@@ -46,3 +46,36 @@ def test_boolean_area_identities(seed):
     # idempotence of normalize on clean output
     u = boolean_op(a, b, "union")
     assert rings_area(normalize(u)) == pytest.approx(union, abs=tol)
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_boolean_op_multi_matches_separate_ops(seed):
+    """boolean_op_multi (one shared scanbeam table) must be ring-for-ring
+    identical to the separate single-op passes — the alignment kernel's
+    fused hot path depends on it."""
+    from brdrq_spark.geom.clip import boolean_op_multi
+
+    rng = np.random.default_rng(1000 + seed)
+    a = normalize([star_poly(rng, 0, 0, 2, 8, rng.integers(5, 40))])
+    b = normalize(
+        [star_poly(rng, rng.uniform(-4, 4), rng.uniform(-4, 4), 2, 8, rng.integers(5, 40))]
+    )
+    ops = ("intersection", "difference", "rdifference", "union", "symdiff")
+    multi = boolean_op_multi(a, b, ops)
+    singles = [
+        boolean_op(a, b, "intersection"),
+        boolean_op(a, b, "difference"),
+        boolean_op(b, a, "difference"),
+        boolean_op(a, b, "union"),
+        boolean_op(a, b, "symdiff"),
+    ]
+    for op, m, s in zip(ops, multi, singles):
+        assert len(m) == len(s), op
+        for rm, rs in zip(m, s):
+            assert np.array_equal(rm, rs), op
+    # symdiff == disjoint concatenation of the two differences (the
+    # kernel substitutes that for a third pass)
+    dplus, dmin = multi[1], multi[2]
+    assert rings_area(dplus) + rings_area(dmin) == pytest.approx(
+        rings_area(multi[4]), abs=1e-6
+    )
