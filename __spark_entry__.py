@@ -824,35 +824,39 @@ def q_temporal_update(spark, sf_dir):
 
 
 def q_resume_lineage(spark, sf_dir):
-    """M7: Iceberg-style commit log — run a partitioned job twice; the
-    second pass must skip every committed partition. Returns per-
-    partition lineage rows + resume counters."""
+    """M7: Iceberg-style commit log on the FLAGSHIP operator — run the
+    checkpointed align twice; the second pass must skip every committed
+    shard. Lineage rows carry the cell range + alignment stats the
+    north_rule demands."""
     import pandas as pd
+    import shutil
     import tempfile
 
-    from brdrq_spark.sources.manifest import CommittedTable, run_partitioned
+    from brdrq_spark.operators.align import AlignConfig
+    from brdrq_spark.sources.manifest import CommittedTable, checkpointed_align
 
+    th, ref = _synthetic_align_inputs(spark, n_theme=12, grid=8, seed=9)
     root = tempfile.mkdtemp(prefix="brdrq_resume_")
-    tab = CommittedTable(root)
-    keys = ["k0", "k1", "k2"]
-
-    def make_df(key):
-        return spark.range(5).select(
-            F.col("id"), F.lit(key).alias("part_key")
-        )
-
-    first = run_partitioned(spark, tab, keys, make_df)
-    second = run_partitioned(spark, tab, keys, make_df)
-    rows = [
-        {
-            "partition": r["partition"],
-            "row_count": r["row_count"],
-            "first_computed": first["computed"],
-            "second_skipped": second["skipped_committed"],
-        }
-        for r in tab.lineage()
-    ]
-    return spark.createDataFrame(pd.DataFrame(rows))
+    try:
+        tab = CommittedTable(root)
+        cfg = AlignConfig(relevant_distances=[2.0])
+        first = checkpointed_align(spark, tab, th, ref, cfg, n_partitions=3)
+        second = checkpointed_align(spark, tab, th, ref, cfg, n_partitions=3)
+        rows = [
+            {
+                "partition": r["partition"],
+                "row_count": r["row_count"],
+                "cell_min": r.get("cell_min"),
+                "cell_max": r.get("cell_max"),
+                "avg_sym_perc": r.get("avg_sym_perc"),
+                "first_computed": first["computed"],
+                "second_skipped": second["skipped_committed"],
+            }
+            for r in tab.lineage()
+        ]
+        return spark.createDataFrame(pd.DataFrame(rows))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def q_image_invariants(spark, sf_dir):

@@ -120,3 +120,49 @@ def run_partitioned(
         "skipped_committed": len(keys) - len(todo),
         "computed": done,
     }
+
+
+def checkpointed_align(
+    spark: SparkSession,
+    table: CommittedTable,
+    theme_df: DataFrame,
+    ref_df: DataFrame,
+    config=None,
+    n_partitions: int = 4,
+    broadcast_ref: bool | None = None,
+) -> dict:
+    """Resumable distributed alignment (north_rule: "resumable from
+    checkpoint with per-partition lineage + metrics"): the thematic
+    layer splits into ``n_partitions`` deterministic hash shards, each
+    shard aligns independently and commits atomically with lineage rows
+    carrying the cell range, row count and alignment stats. A killed run
+    resumes from the manifest and re-does only uncommitted shards."""
+    from pyspark.sql import functions as F
+
+    from brdrq_spark.operators.align import align
+
+    keys = [f"shard_{i:03d}" for i in range(n_partitions)]
+
+    def make_df(key):
+        i = int(key.rsplit("_", 1)[1])
+        shard = theme_df.filter(
+            F.pmod(F.xxhash64(F.col("theme_id")), F.lit(n_partitions)) == i
+        )
+        return align(spark, shard, ref_df, config, broadcast_ref=broadcast_ref)
+
+    def make_lineage(key, df):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.array_min("cell_ids")).alias("cell_min"),
+            F.max(F.array_max("cell_ids")).alias("cell_max"),
+            F.round(F.avg("brdr_sym_diff_area_index_perc"), 4).alias("avg_sym_perc"),
+            F.round(F.sum("brdr_area"), 2).alias("total_area"),
+        ).collect()[0]
+        return {
+            "cell_min": row.cell_min,
+            "cell_max": row.cell_max,
+            "avg_sym_perc": row.avg_sym_perc,
+            "total_area": row.total_area,
+        }
+
+    return run_partitioned(spark, table, keys, make_df, make_lineage)

@@ -241,3 +241,26 @@ def test_lsh_degenerate_bucket_capped(spark):
     pairs = lsh_candidate_pairs(sigs, bands=8, max_bucket_size=100)
     n = pairs.count()
     assert 0 < n <= 100 * 99 // 2
+
+
+def test_checkpointed_align_resume(spark, tmp_path, small_tables):
+    """Kill-resume for the flagship operator: second run recomputes only
+    uncommitted shards; lineage rows carry cell range + alignment stats."""
+    from brdrq_spark.operators.align import AlignConfig
+    from brdrq_spark.sources.manifest import CommittedTable, checkpointed_align
+
+    th, ref = small_tables
+    tab = CommittedTable(str(tmp_path / "ckpt"))
+    cfg = AlignConfig(relevant_distances=[2.0])
+    first = checkpointed_align(spark, tab, th, ref, cfg, n_partitions=3)
+    assert first["computed"] == 3 and first["skipped_committed"] == 0
+    # simulate a killed run restarted: everything already committed
+    second = checkpointed_align(spark, tab, th, ref, cfg, n_partitions=3)
+    assert second["computed"] == 0 and second["skipped_committed"] == 3
+    out = tab.read(spark)
+    assert out.count() == th.count()  # one row per theme at one rd
+    for lin in tab.lineage():
+        assert lin["row_count"] >= 0
+        if lin["row_count"]:
+            assert lin["cell_min"] <= lin["cell_max"]
+            assert "avg_sym_perc" in lin and "total_area" in lin
