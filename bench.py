@@ -242,10 +242,10 @@ def main():
         spark.stop()
         import subprocess
 
-        def scale_point(c: int) -> dict:
+        def scale_point(c: int, passes: int = 1) -> dict:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--scale-run",
-                 str(c), paths["theme_scale"], paths["ref"]],
+                 str(c), paths["theme_scale"], paths["ref"], str(passes)],
                 capture_output=True, text=True, timeout=900,
             )
             line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
@@ -253,14 +253,15 @@ def main():
 
         lo = max(CPUS // 8, 1)
         hi = max(CPUS // 2, 2)
-        # 3 rounds x 1 pass samples three separate noise windows per
-        # level — better min-estimator coverage than 2 rounds x 2 passes
-        # at the same wall cost
+        # 3 alternating rounds; the HIGH level takes 2 passes per round
+        # (cheap) because bandwidth-steal windows hit high-parallelism
+        # runs 3x harder than low ones (local[4] is stable within ~10%,
+        # local[16] swings ~1.8x) — more hi samples, same min estimator
         samples: dict[int, list[float]] = {lo: [], hi: []}
         rows_scale = 0
         for _round in range(3):
-            for c in (lo, hi):
-                r = scale_point(c)
+            for c, passes in ((lo, 1), (hi, 2)):
+                r = scale_point(c, passes)
                 samples[c].extend(r["samples"])
                 rows_scale = r["rows"]
         pts = {
@@ -305,6 +306,11 @@ def main():
 
 if __name__ == "__main__":
     if len(sys.argv) >= 5 and sys.argv[1] == "--scale-run":
-        scale_run(int(sys.argv[2]), sys.argv[3], sys.argv[4])
+        scale_run(
+            int(sys.argv[2]),
+            sys.argv[3],
+            sys.argv[4],
+            passes=int(sys.argv[5]) if len(sys.argv) > 5 else 1,
+        )
     else:
         main()

@@ -109,6 +109,12 @@ class AlignConfig:
     # (cell, hash(theme_id) % salt), reference rows replicated salt ways.
     # 0 = rely on AQE skew splitting; ignored under broadcast_ref.
     salt: int = 0
+    # fused-plan admission: a theme whose cells x wkb_bytes exceeds this
+    # budget ships ids-only through the cell explode and re-joins its WKB
+    # on the theme_id key (which the kernel repartition needs anyway) —
+    # bounds shuffle amplification for huge/detailed geometries instead
+    # of duplicating a 100 KB polygon into 1000 cell rows.
+    max_inline_wkb_bytes: int = 1 << 18
 
 
 ALIGN_SCHEMA = T.StructType(
@@ -542,13 +548,20 @@ def align_candidate_rows(
     if ref_df.rdd.getNumPartitions() < par:
         ref_df = ref_df.repartition(par)
 
+    # hybrid WKB shipping: small features' WKB rides the cell explode
+    # (zero extra shuffle); oversized ones ship NULL and re-join their
+    # WKB by theme_id below — duplication stays bounded by the budget
+    inline_ok = (
+        F.size("cells").cast("long") * F.length("geom_wkb").cast("long")
+        <= F.lit(int(cfg.max_inline_wkb_bytes))
+    )
     t_cells = (
         with_geo_features(
             theme_df.select("theme_id", "geom_wkb"), "geom_wkb", res, dilate
         )
         .select(
             "theme_id",
-            F.col("geom_wkb").alias("theme_wkb"),
+            F.when(inline_ok, F.col("geom_wkb")).alias("theme_wkb"),
             F.col("minx").alias("t_minx"),
             F.col("miny").alias("t_miny"),
             F.col("maxx").alias("t_maxx"),
@@ -600,15 +613,25 @@ def align_candidate_rows(
     # every theme emits a result row even with zero candidates (remark
     # no_reference_candidates): union one bare row per theme — a no-op
     # for matched themes (kernel drops null refs and dedupes)
-    grouped = cand.select(
-        "theme_id", "theme_wkb", "ref_wkb", "ref_id", "ref_version"
-    ).unionByName(
-        theme_df.select(
-            "theme_id",
-            F.col("geom_wkb").alias("theme_wkb"),
-            F.lit(None).cast("binary").alias("ref_wkb"),
-            F.lit(None).cast("string").alias("ref_id"),
-            F.lit(None).cast("string").alias("ref_version"),
+    cand = cand.select("theme_id", "theme_wkb", "ref_wkb", "ref_id", "ref_version")
+    # re-attach WKB for the oversized features (NULL theme_wkb rows);
+    # the join keys on theme_id, the same partitioning the kernel stage
+    # repartitions to — one co-keyed join instead of cells x WKB copies
+    big = cand.where(F.col("theme_wkb").isNull()).drop("theme_wkb").join(
+        theme_df.select("theme_id", F.col("geom_wkb").alias("theme_wkb")),
+        "theme_id",
+    ).select("theme_id", "theme_wkb", "ref_wkb", "ref_id", "ref_version")
+    grouped = (
+        cand.where(F.col("theme_wkb").isNotNull())
+        .unionByName(big)
+        .unionByName(
+            theme_df.select(
+                "theme_id",
+                F.col("geom_wkb").alias("theme_wkb"),
+                F.lit(None).cast("binary").alias("ref_wkb"),
+                F.lit(None).cast("string").alias("ref_id"),
+                F.lit(None).cast("string").alias("ref_version"),
+            )
         )
     )
     return grouped, res

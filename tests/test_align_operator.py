@@ -171,3 +171,27 @@ def test_od_snap_strategies_kernel():
     assert bbox(exclude)[2] == pytest.approx(10.0, abs=0.05)
     # snapped OD still covers at least the AS_IS interior area
     assert rings_area(all_side) >= rings_area(exclude)
+
+
+def test_align_hybrid_wkb_shipping_same_output(spark, tables):
+    """Oversized features ship ids-only through the cell explode and
+    re-join their WKB (AlignConfig.max_inline_wkb_bytes); forcing every
+    feature onto that path must not change a single output value."""
+    th, ref = tables
+    base = {
+        r.theme_id: (round(r.brdr_area, 9), tuple(r.cell_ids))
+        for r in align(
+            spark, th, ref, AlignConfig(relevant_distances=[2.0]), broadcast_ref=False
+        ).collect()
+    }
+    forced = {
+        r.theme_id: (round(r.brdr_area, 9), tuple(r.cell_ids))
+        for r in align(
+            spark,
+            th,
+            ref,
+            AlignConfig(relevant_distances=[2.0], max_inline_wkb_bytes=1),
+            broadcast_ref=False,
+        ).collect()
+    }
+    assert base == forced and len(base) == N_THEMES
