@@ -637,6 +637,92 @@ def q_diff_metrics_series(spark, sf_dir):
     )
 
 
+def q_evaluate_closed_form(spark, sf_dir):
+    """A5/A7/W1 proven correct end-to-end: the prediction sweep over the
+    closed-form rectangle fixture. Grid [0, .5, 1, 1.5, 2]: at rd=0 the
+    partial branch keeps the bare overlap (sym = 10*dx); at rd >= 0.5
+    the uncovered strip erodes away and the FULL branch snaps to the
+    parcel (sym = 20*dx) — so shifted themes have exactly one stable run
+    of length 4 (prediction at rd=0.5, score 4, prediction_unique) and
+    unshifted ones one run of length 5 (rd=0, score 5, no_change)."""
+    import numpy as np
+    import pandas as pd
+
+    from brdrq_spark.geom import rings_to_wkb
+    from brdrq_spark.operators.align import AlignConfig
+    from brdrq_spark.operators.evaluate import evaluate
+
+    def sq(x0):
+        return rings_to_wkb(
+            [np.array([[x0, 0.0], [x0 + 10.0, 0.0], [x0 + 10.0, 10.0], [x0, 10.0]])]
+        )
+
+    n = 40
+    ref = spark.createDataFrame(
+        pd.DataFrame([{"ref_id": f"r{i}", "geom_wkb": sq(20.0 * i)} for i in range(n)])
+    )
+    th = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"theme_id": f"t{i}", "geom_wkb": sq(20.0 * i + 0.1 * (i % 5))}
+                for i in range(n)
+            ]
+        )
+    )
+    cfg = AlignConfig(relevant_distances=[2.0], od_strategy="EXCLUDE")
+    out = evaluate(
+        spark, th, ref, max_rd=2.0, step=0.5, config=cfg, broadcast_ref=True
+    )
+    return out.select(
+        "theme_id",
+        "brdr_relevant_distance",
+        "brdr_prediction_score",
+        F.col("brdr_prediction_count").cast("bigint").alias("brdr_prediction_count"),
+        "brdr_evaluation",
+        F.round("brdr_sym_diff_area", 2).alias("sym_area"),
+    )
+
+
+def q_classify_closed_form(spark, sf_dir):
+    """G4 on real geometry, oracle-checked: align → evaluate → classify
+    over the closed-form fixture. Unshifted themes evaluate no_change →
+    not_changed; shifted ones have sym% = 2*(i%5) <= 8 < review gate 10
+    and sym area >= 2 m2 > 0.01 → auto_updated."""
+    import numpy as np
+    import pandas as pd
+
+    from brdrq_spark.geom import rings_to_wkb
+    from brdrq_spark.operators.align import AlignConfig
+    from brdrq_spark.operators.classify import classify_correction
+    from brdrq_spark.operators.evaluate import evaluate
+
+    def sq(x0):
+        return rings_to_wkb(
+            [np.array([[x0, 0.0], [x0 + 10.0, 0.0], [x0 + 10.0, 10.0], [x0, 10.0]])]
+        )
+
+    n = 40
+    ref = spark.createDataFrame(
+        pd.DataFrame([{"ref_id": f"r{i}", "geom_wkb": sq(20.0 * i)} for i in range(n)])
+    )
+    th = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"theme_id": f"t{i}", "geom_wkb": sq(20.0 * i + 0.1 * (i % 5))}
+                for i in range(n)
+            ]
+        )
+    )
+    cfg = AlignConfig(relevant_distances=[2.0], od_strategy="EXCLUDE")
+    ev = evaluate(spark, th, ref, max_rd=2.0, step=0.5, config=cfg, broadcast_ref=True)
+    out = classify_correction(th, ev)
+    return out.select(
+        "theme_id",
+        "brdrq_state",
+        F.round("brdr_sym_diff_area", 2).alias("sym_area"),
+    )
+
+
 def q_minhash_lsh(spark, sf_dir):
     from brdrq_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures, shingles
 
@@ -1081,6 +1167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_cover": q_cell_cover,
         "align_rect_closed_form": q_align_rect_closed_form,
         "diff_metrics_series": q_diff_metrics_series,
+        "evaluate_closed_form": q_evaluate_closed_form,
+        "classify_closed_form": q_classify_closed_form,
         "sosa_lineage_roundtrip": q_sosa_lineage_roundtrip,
         "knn_closed_form": q_knn_closed_form,
         "minhash_lsh_candidates": q_minhash_lsh,
@@ -1185,6 +1273,25 @@ def oracle_sql() -> dict[str, str]:
           SELECT 't' || i AS theme_id,
                  'r' || i AS ref_id,
                  '2024-01-01' AS version_date
+          FROM range(40) t(i)
+        """,
+        "classify_closed_form": """
+          SELECT 't' || i AS theme_id,
+                 CASE WHEN i % 5 = 0 THEN 'not_changed'
+                      ELSE 'auto_updated' END AS brdrq_state,
+                 round(2.0 * (i % 5), 2) AS sym_area
+          FROM range(40) t(i)
+        """,
+        "evaluate_closed_form": """
+          SELECT 't' || i AS theme_id,
+                 CASE WHEN i % 5 = 0 THEN 0.0 ELSE 0.5 END
+                   AS brdr_relevant_distance,
+                 CASE WHEN i % 5 = 0 THEN 5.0 ELSE 4.0 END
+                   AS brdr_prediction_score,
+                 1::BIGINT AS brdr_prediction_count,
+                 CASE WHEN i % 5 = 0 THEN 'no_change'
+                      ELSE 'prediction_unique' END AS brdr_evaluation,
+                 round(2.0 * (i % 5), 2) AS sym_area
           FROM range(40) t(i)
         """,
         "diff_metrics_series": """
