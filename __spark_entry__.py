@@ -723,6 +723,104 @@ def q_classify_closed_form(spark, sf_dir):
     )
 
 
+def q_snaplines_closed_form(spark, sf_dir):
+    """A10 proven correct: vertical 8 m polylines offset dx from a parcel
+    edge densify to 5 vertices (max_seg 2) and all snap onto the edge —
+    n_snapped = 5, max_move = dx exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from brdrq_spark.geom import rings_to_wkb
+    from brdrq_spark.geom.wkb import lines_to_wkb
+    from brdrq_spark.operators.snaplines import SNAP_NO_PREFERENCE, align_lines
+
+    n = 40
+    refs, themes = [], []
+    for i in range(n):
+        x0 = 20.0 * i
+        dx = 0.2 + 0.1 * (i % 5)
+        refs.append(
+            {
+                "ref_id": f"r{i}",
+                "geom_wkb": rings_to_wkb(
+                    [
+                        np.array(
+                            [[x0, 0.0], [x0 + 10.0, 0.0], [x0 + 10.0, 10.0], [x0, 10.0]]
+                        )
+                    ]
+                ),
+            }
+        )
+        line = np.array([[x0 + 10.0 + dx, 1.0], [x0 + 10.0 + dx, 9.0]])
+        themes.append({"theme_id": f"t{i}", "geom_wkb": lines_to_wkb([line])})
+    th = spark.createDataFrame(pd.DataFrame(themes))
+    ref = spark.createDataFrame(pd.DataFrame(refs))
+    out = align_lines(
+        spark, th, ref, relevant_distance=2.0,
+        snap_strategy=SNAP_NO_PREFERENCE, broadcast_ref=True,
+    )
+    return out.select(
+        "theme_id",
+        F.col("n_vertices").cast("bigint").alias("n_vertices"),
+        F.col("n_snapped").cast("bigint").alias("n_snapped"),
+        F.round("max_move", 3).alias("max_move"),
+        "brdr_remark",
+    )
+
+
+def q_temporal_closed_form(spark, sf_dir):
+    """A13 proven correct: bump VERSDATUM on parcels i%7==0; exactly
+    those themes re-align (empty remark) and every other row passes
+    through as unchanged_reference."""
+    import numpy as np
+    import pandas as pd
+
+    from brdrq_spark.geom import rings_to_wkb
+    from brdrq_spark.operators.align import AlignConfig
+    from brdrq_spark.operators.temporal import update_to_actual
+
+    def sq(x0):
+        return rings_to_wkb(
+            [np.array([[x0, 0.0], [x0 + 10.0, 0.0], [x0 + 10.0, 10.0], [x0, 10.0]])]
+        )
+
+    n = 40
+    ref_v2 = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "ref_id": f"r{i}",
+                    "geom_wkb": sq(20.0 * i),
+                    "VERSDATUM": "2025-01-01" if i % 7 == 0 else "2023-01-01",
+                }
+                for i in range(n)
+            ]
+        )
+    )
+    th = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"theme_id": f"t{i}", "geom_wkb": sq(20.0 * i + 0.1 * (i % 5))}
+                for i in range(n)
+            ]
+        )
+    )
+    lineage = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"theme_id": f"t{i}", "ref_id": f"r{i}", "version_date": "2023-06-01"}
+                for i in range(n)
+            ]
+        )
+    )
+    out = update_to_actual(
+        spark, th, lineage, ref_v2,
+        AlignConfig(relevant_distances=[2.0], od_strategy="EXCLUDE"),
+        broadcast_ref=True,
+    )
+    return out.select("theme_id", "brdr_relevant_distance", "brdr_remark")
+
+
 def q_minhash_lsh(spark, sf_dir):
     from brdrq_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures, shingles
 
@@ -1169,6 +1267,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_metrics_series": q_diff_metrics_series,
         "evaluate_closed_form": q_evaluate_closed_form,
         "classify_closed_form": q_classify_closed_form,
+        "snaplines_closed_form": q_snaplines_closed_form,
+        "temporal_closed_form": q_temporal_closed_form,
         "sosa_lineage_roundtrip": q_sosa_lineage_roundtrip,
         "knn_closed_form": q_knn_closed_form,
         "minhash_lsh_candidates": q_minhash_lsh,
@@ -1273,6 +1373,21 @@ def oracle_sql() -> dict[str, str]:
           SELECT 't' || i AS theme_id,
                  'r' || i AS ref_id,
                  '2024-01-01' AS version_date
+          FROM range(40) t(i)
+        """,
+        "snaplines_closed_form": """
+          SELECT 't' || i AS theme_id,
+                 5::BIGINT AS n_vertices,
+                 5::BIGINT AS n_snapped,
+                 round(0.2 + 0.1 * (i % 5)::DOUBLE, 3) AS max_move,
+                 '' AS brdr_remark
+          FROM range(40) t(i)
+        """,
+        "temporal_closed_form": """
+          SELECT 't' || i AS theme_id,
+                 2.0 AS brdr_relevant_distance,
+                 CASE WHEN i % 7 = 0 THEN ''
+                      ELSE 'unchanged_reference' END AS brdr_remark
           FROM range(40) t(i)
         """,
         "classify_closed_form": """
