@@ -278,7 +278,7 @@ def q_token_counts(spark, sf_dir):
 def q_sessionize(spark, sf_dir):
     _views(spark, sf_dir)
     return spark.sql("""
-      SELECT user_id, (sum(flag) + 1) AS n_sessions
+      SELECT user_id, cast(sum(flag) + 1 AS bigint) AS n_sessions
       FROM (SELECT user_id,
                    CASE WHEN unix_micros(cast(ts AS timestamp)) -
                              lag(unix_micros(cast(ts AS timestamp))) OVER
@@ -1363,9 +1363,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "align_rect_closed_form": """
           SELECT 't' || i AS theme_id,
-                 100.0 AS brdr_area,
-                 40.0 AS brdr_perimeter,
-                 round(2.0 * (i % 5), 2) AS sym_area,
+                 100.0::DOUBLE AS brdr_area,
+                 40.0::DOUBLE AS brdr_perimeter,
+                 round(2.0 * (i % 5), 2)::DOUBLE AS sym_area,
                  1 AS brdr_nr_references
           FROM range(40) t(i)
         """,
@@ -1385,7 +1385,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "temporal_closed_form": """
           SELECT 't' || i AS theme_id,
-                 2.0 AS brdr_relevant_distance,
+                 2.0::DOUBLE AS brdr_relevant_distance,
                  CASE WHEN i % 7 = 0 THEN ''
                       ELSE 'unchanged_reference' END AS brdr_remark
           FROM range(40) t(i)
@@ -1394,29 +1394,29 @@ def oracle_sql() -> dict[str, str]:
           SELECT 't' || i AS theme_id,
                  CASE WHEN i % 5 = 0 THEN 'not_changed'
                       ELSE 'auto_updated' END AS brdrq_state,
-                 round(2.0 * (i % 5), 2) AS sym_area
+                 round(2.0 * (i % 5), 2)::DOUBLE AS sym_area
           FROM range(40) t(i)
         """,
         "evaluate_closed_form": """
           SELECT 't' || i AS theme_id,
-                 CASE WHEN i % 5 = 0 THEN 0.0 ELSE 0.5 END
+                 (CASE WHEN i % 5 = 0 THEN 0.0 ELSE 0.5 END)::DOUBLE
                    AS brdr_relevant_distance,
-                 CASE WHEN i % 5 = 0 THEN 5.0 ELSE 4.0 END
+                 (CASE WHEN i % 5 = 0 THEN 5.0 ELSE 4.0 END)::DOUBLE
                    AS brdr_prediction_score,
                  1::BIGINT AS brdr_prediction_count,
                  CASE WHEN i % 5 = 0 THEN 'no_change'
                       ELSE 'prediction_unique' END AS brdr_evaluation,
-                 round(2.0 * (i % 5), 2) AS sym_area
+                 round(2.0 * (i % 5), 2)::DOUBLE AS sym_area
           FROM range(40) t(i)
         """,
         "diff_metrics_series": """
           SELECT 't' || i AS theme_id,
-                 rd AS brdr_relevant_distance,
-                 100.0 AS brdr_area,
-                 round(2.0 * (i % 5), 2) AS sym_area,
-                 round(2.0 * (i % 5), 2) AS sym_perc,
-                 0.0 AS diff_area_idx,
-                 CASE WHEN rd = 0.5 THEN NULL ELSE 0.0 END AS delta_sym
+                 rd::DOUBLE AS brdr_relevant_distance,
+                 100.0::DOUBLE AS brdr_area,
+                 round(2.0 * (i % 5), 2)::DOUBLE AS sym_area,
+                 round(2.0 * (i % 5), 2)::DOUBLE AS sym_perc,
+                 0.0::DOUBLE AS diff_area_idx,
+                 (CASE WHEN rd = 0.5 THEN NULL ELSE 0.0 END)::DOUBLE AS delta_sym
           FROM range(40) t(i), (VALUES (0.5), (1.0), (2.0)) g(rd)
         """,
         "streaming_sessionize": """
@@ -1560,7 +1560,7 @@ def oracle_sql() -> dict[str, str]:
           FROM events GROUP BY event_type
         """,
         "sessionize_events": """
-          SELECT user_id, (sum(flag) + 1) AS n_sessions
+          SELECT user_id, (sum(flag) + 1)::BIGINT AS n_sessions
           FROM (SELECT user_id,
                        CASE WHEN epoch_us(ts) -
                                  lag(epoch_us(ts)) OVER

@@ -88,7 +88,7 @@ def geom_type_udf(wkb: pd.Series) -> pd.Series:
     def tag(b):
         if not b or len(b) < 5:
             return "Empty"
-        base = int.from_bytes(b[1:5], "little") % 1000
+        base = int.from_bytes(b[1:5], "little" if b[0] == 1 else "big") % 1000
         if base in (1, 4):  # Point / MultiPoint
             return "Point" if base == 1 else "MultiPoint"
         if base in (2, 5):  # LineString / MultiLineString

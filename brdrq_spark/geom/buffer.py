@@ -61,7 +61,10 @@ def boundary_capsules(
       vertices (the round outer join);
     * "all": both (boundary-neighborhood semantics).
 
-    Pruning is exact for the boolean result, and capsule edge counts
+    Pruning is exact up to scanbeam snap rounding (measured area deltas
+    vs joins="all" ≲1e-4 m² on star polygons; near the _TINY decision
+    threshold the two variants agree to ~1e-16, so relevance decisions
+    don't flip), and capsule edge counts
     drop ~(4+nseg)/4 per vertex on convex-dominated parcel data — the
     erosion relevance tests are the alignment kernel's hot path.
     """

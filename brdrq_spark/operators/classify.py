@@ -90,26 +90,11 @@ def classify_correction(
             else F.lit(None).cast("boolean")
         ).alias("brdr_stability"),
     )
-    # one row per feature: best-scoring prediction carries the geometry
-    # (the reference keeps the last row it iterates — ours is the
-    # deterministic argmax), n_predictions drives the to_review rule
-    wbest = Window.partitionBy("theme_id").orderBy(
-        F.desc("brdr_prediction_score"), F.asc("brdr_relevant_distance")
-    )
-    best = (
-        ranked.withColumn("_rk", F.row_number().over(wbest))
-        .withColumn("_n_pred", F.count("*").over(Window.partitionBy("theme_id")))
-        .filter(F.col("_rk") == 1)
-        .drop("_rk")
-    )
-    src = theme_df.select(
-        "theme_id",
-        F.col("geom_wkb").alias("original_wkb"),
-    )
-    j = src.join(best, "theme_id", "left")
-
-    no_result = F.col("_n_pred").isNull()
-    is_multi = F.coalesce(F.col("_n_pred"), F.lit(0)) > 1
+    # the reference's elif chain runs for EVERY prediction row of a key
+    # (brdrq_utils.py:1263-1291 accumulates list membership across all
+    # duplicate rows — e.g. a non-best row with an empty/unstable result
+    # still puts the key in ids_to_align), so evaluate the branch per
+    # row BEFORE the argmax filter, then aggregate per theme.
     eval_eq = F.col("brdr_evaluation").isin(*_EQUALITY_EVALS)
     no_change = F.col("brdr_evaluation") == "no_change"
     empty_geom = F.col("aligned_wkb").isNull() | (F.col("brdr_area") <= 0)
@@ -118,9 +103,10 @@ def classify_correction(
     unstable = stab_known & ~F.col("brdr_stability")
     stable = stab_known & F.col("brdr_stability")
 
-    # the reference's elif chain: first matching branch claims the key
-    # (unstable routes to to_update for both polygon and non-polygon
-    # layers, brdrq_utils.py:1272-1284)
+    # per-row branch (unstable routes to to_update for both polygon and
+    # non-polygon layers, brdrq_utils.py:1272-1284); severity encoding
+    # mirrors the reference's state precedence
+    # to_update(3) > to_review(2) > not_changed(1) > auto_updated(0)
     to_align = ~no_change & ~eval_eq & (empty_geom | unstable)
     to_review_stab = ~no_change & ~eval_eq & ~empty_geom & nonpoly & stable
     past_stability = ~no_change & ~eval_eq & ~empty_geom & ~to_review_stab & ~unstable
@@ -130,12 +116,45 @@ def classify_correction(
     small_change = past_stability & ~to_review_sym & (
         F.col("brdr_sym_diff_area") < F.lit(min_change_area)
     )
+    row_severity = (
+        F.when(to_align, F.lit(3))
+        .when(to_review_stab | to_review_sym, F.lit(2))
+        .when(no_change | small_change, F.lit(1))
+        .otherwise(F.lit(0))
+    )
 
-    # precedence: to_update > to_review > not_changed > auto_updated
+    # one row per feature: best-scoring prediction carries the geometry
+    # (the reference keeps the last row it iterates — ours is the
+    # deterministic argmax), n_predictions drives the to_review rule
+    wbest = Window.partitionBy("theme_id").orderBy(
+        F.desc("brdr_prediction_score"), F.asc("brdr_relevant_distance")
+    )
+    wtheme = Window.partitionBy("theme_id")
+    best = (
+        ranked.withColumn("_row_sev", row_severity)
+        .withColumn("_rk", F.row_number().over(wbest))
+        .withColumn("_n_pred", F.count("*").over(wtheme))
+        .withColumn("_max_sev", F.max("_row_sev").over(wtheme))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "_row_sev")
+    )
+    src = theme_df.select(
+        "theme_id",
+        F.col("geom_wkb").alias("original_wkb"),
+    )
+    j = src.join(best, "theme_id", "left")
+
+    no_result = F.col("_n_pred").isNull()
+    is_multi = F.coalesce(F.col("_n_pred"), F.lit(0)) > 1
+    # >1 prediction rows force at least to_review (brdrq_utils.py:1250-1253)
+    sev = F.greatest(
+        F.coalesce(F.col("_max_sev"), F.lit(0)),
+        F.when(is_multi, F.lit(2)).otherwise(F.lit(0)),
+    )
     state = (
-        F.when(no_result | to_align, STATE_TO_UPDATE)
-        .when(is_multi | to_review_stab | to_review_sym, STATE_TO_REVIEW)
-        .when(no_change | small_change, STATE_NOT_CHANGED)
+        F.when(no_result | (sev == 3), STATE_TO_UPDATE)
+        .when(sev == 2, STATE_TO_REVIEW)
+        .when(sev == 1, STATE_NOT_CHANGED)
         .otherwise(STATE_AUTO_UPDATED)
     )
     out = j.withColumn("brdrq_state", state).withColumn(
@@ -154,5 +173,5 @@ def classify_correction(
         )
     return (
         out.withColumn("brdrq_original_wkt", wkb_to_wkt_udf(F.col("original_wkb")))
-        .drop("original_wkb", "_n_pred")
+        .drop("original_wkb", "_n_pred", "_max_sev")
     )

@@ -143,13 +143,18 @@ def write_geojson(
     ``max_rows`` guards against pointing this interop sink at a big
     table: a FeatureCollection is one JSON object, inherently
     driver-side — use the Parquet sink for anything larger."""
-    n = df.count()
-    if n > max_rows:
+    # Single execution: collect limit(max_rows+1) once and check the length
+    # instead of a count() + collect() pair that runs the upstream plan twice.
+    rows = (
+        df.withColumn("_gj", wkb_to_geojson_udf(F.col(geom_col)))
+        .limit(max_rows + 1)
+        .collect()
+    )
+    if len(rows) > max_rows:
         raise ValueError(
-            f"write_geojson is a small-result interop sink: {n} rows > "
-            f"max_rows={max_rows}; write Parquet instead"
+            f"write_geojson is a small-result interop sink: >{max_rows} rows; "
+            f"write Parquet instead"
         )
-    rows = df.withColumn("_gj", wkb_to_geojson_udf(F.col(geom_col))).collect()
     feats = []
     for r in rows:
         d = r.asDict(recursive=True)

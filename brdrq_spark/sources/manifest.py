@@ -56,16 +56,22 @@ class CommittedTable:
         os.replace(tmp, self.manifest_path)  # atomic snapshot swap
 
     # -- commit path --------------------------------------------------------
-    def commit_partition(
-        self, key: str, df: DataFrame, lineage: dict | None = None
-    ) -> dict:
-        """Write one partition + lineage, then atomically publish it."""
+    def write_partition(self, key: str, df: DataFrame) -> str:
+        """Execute the plan exactly ONCE: write the shard parquet.
+        Counts/lineage are derived afterwards from the written files
+        (parquet footer count + a scan of the small result), so the
+        upstream align kernel never re-runs."""
         part_dir = os.path.join(self.data_dir, f"part_{key}")
         df.write.mode("overwrite").parquet(part_dir)
-        n = df.count()
+        return part_dir
+
+    def publish_partition(
+        self, key: str, row_count: int, lineage: dict | None = None
+    ) -> dict:
+        """Atomically publish an already-written partition + lineage row."""
         row = {
             "partition": key,
-            "row_count": n,
+            "row_count": row_count,
             "committed_at": time.time(),
             **(lineage or {}),
         }
@@ -75,6 +81,16 @@ class CommittedTable:
         keys.add(key)
         self._write_manifest(keys)
         return row
+
+    def commit_partition(
+        self, key: str, df: DataFrame, lineage: dict | None = None
+    ) -> dict:
+        """Write one partition + lineage, then atomically publish it.
+        Single-execution: the plan runs once for the write; the row count
+        comes from the written parquet (footer-only count)."""
+        part_dir = self.write_partition(key, df)
+        n = df.sparkSession.read.parquet(part_dir).count()
+        return self.publish_partition(key, n, lineage)
 
     # -- read path ----------------------------------------------------------
     def read(self, spark: SparkSession) -> DataFrame:
@@ -112,8 +128,12 @@ def run_partitioned(
     done = 0
     for key in todo:
         df = make_df(key)
-        lin = make_lineage(key, df) if make_lineage else None
-        table.commit_partition(key, df, lin)
+        # Plan executes once (the write); lineage + count re-read the
+        # small written parquet, not the upstream kernel.
+        part_dir = table.write_partition(key, df)
+        written = spark.read.parquet(part_dir)
+        lin = make_lineage(key, written) if make_lineage else None
+        table.publish_partition(key, written.count(), lin)
         done += 1
     return {
         "requested": len(keys),

@@ -37,6 +37,53 @@ def table_multiset(cols, rows):
     )
 
 
+# Arrow-level canonical type names so Spark bigint == DuckDB BIGINT but NOT
+# DuckDB HUGEINT (arrow decimal128) — the class of bug the driver's value-hash
+# sees and a Python-native compare (hugeint -> int) silently hides.
+def _canon_arrow_type(t) -> str:
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return "int64" if t.bit_width <= 64 else f"int{t.bit_width}"
+    if pa.types.is_floating(t):
+        return "float64"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_canon_arrow_type(t.value_type)}>"
+    return str(t)
+
+
+def arrow_type_mismatches(sdf, duck_rel) -> list[str]:
+    """Compare Spark result types vs DuckDB arrow result types per column.
+
+    Returns list of 'col: spark_type vs duck_type' strings for mismatches
+    that would break the driver's Arrow value hash (e.g. HUGEINT/DECIMAL)."""
+    _spark_to_arrow = {
+        "long": "int64", "int": "int64", "integer": "int64", "bigint": "int64",
+        "smallint": "int64", "tinyint": "int64",
+        "double": "float64", "float": "float64",
+        "string": "string", "binary": "binary", "boolean": "bool",
+        "timestamp": "timestamp", "timestamp_ntz": "timestamp", "date": "date32[day]",
+    }
+    duck_schema = duck_rel.fetch_arrow_table().schema
+    duck_types = {f.name: _canon_arrow_type(f.type) for f in duck_schema}
+    out = []
+    for f in sdf.schema.fields:
+        s = f.dataType.simpleString()
+        sc = _spark_to_arrow.get(s, s)
+        dc = duck_types.get(f.name)
+        if dc is not None and sc != dc:
+            out.append(f"{f.name}: spark {s}->{sc} vs duck {dc}")
+    return out
+
+
 def main(sf_dir: str, only: list[str]) -> int:
     spark = get_spark("oracle_check", cpus=8, shuffle_partitions=16)
     con = duckdb.connect()
@@ -65,9 +112,14 @@ def main(sf_dir: str, only: list[str]) -> int:
         try:
             res = con.sql(oracles[name])
             dcols = [d[0] for d in res.description]
+            type_mismatches = arrow_type_mismatches(sdf, con.sql(oracles[name]))
             drows = res.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error {e}")
+            failures += 1
+            continue
+        if type_mismatches:
+            print(f"FAIL  {name}: arrow type mismatch {type_mismatches}")
             failures += 1
             continue
         ok_cols = sorted(scols) == sorted(dcols)
