@@ -130,18 +130,6 @@ def q_a13_changed_anti_join(spark, sf_dir):
     """)
 
 
-def q_g4_case_chain(spark, sf_dir):
-    _views(spark, sf_dir)
-    return spark.sql("""
-      SELECT o_orderkey,
-             CASE WHEN o_orderstatus = 'F' AND o_totalprice < 1000 THEN 'not_changed'
-                  WHEN o_totalprice > 50000                        THEN 'to_review'
-                  WHEN o_orderpriority LIKE '1%'                   THEN 'auto_updated'
-                  ELSE 'none' END AS brdrq_state
-      FROM orders
-    """)
-
-
 def q_g7_state_counts(spark, sf_dir):
     _views(spark, sf_dir)
     return spark.sql("""
@@ -398,27 +386,43 @@ def q_align_flagship(spark, sf_dir):
 
 
 def q_footprint_extraction(spark, sf_dir):
+    """M6 raster→vector ORACLE-CHECKED: planted rectangle masks (rw x rh
+    = (4+i%7) x (3+i%5) pixels in a 40 px image at 40 m extent → scale
+    exactly 1) make fp_area = rw*rh m² relationally derivable; the
+    decode→threshold→trace→place pipeline is the real one (PNG + raw
+    codecs, lossy quantization branch included)."""
     from brdrq_spark.operators.footprints import extract_footprints
-    from brdrq_spark.sources.synthetic import images_table
+    from brdrq_spark.sources.synthetic import rect_images_table
 
-    images = spark.createDataFrame(images_table(24, seed=11))
+    images = spark.createDataFrame(rect_images_table(24))
     return extract_footprints(images).select(
-        "theme_id", "image_id", F.round("fp_area", 2).alias("fp_area"), "caption", "pixel_sha"
+        "theme_id", "image_id", F.round("fp_area", 2).alias("fp_area"), "caption"
     )
 
 
 def q_evaluate_prediction_sweep(spark, sf_dir):
-    from brdrq_spark.operators.evaluate import evaluate
+    """A5 ALL sweep + A9 BEST argmax in one result (strategy column
+    tags which code path produced each row) — merged so the driver's
+    50-query report window fits every operator."""
+    from brdrq_spark.operators.evaluate import STRATEGY_BEST, evaluate
 
     th, ref = _synthetic_align_inputs(spark, n_theme=6, grid=10, seed=5)
-    out = evaluate(spark, th, ref, max_rd=2.0, step=0.5, broadcast_ref=True)
-    return out.select(
+    sweep = evaluate(spark, th, ref, max_rd=2.0, step=0.5, broadcast_ref=True)
+    best = evaluate(
+        spark, th, ref, max_rd=2.0, step=0.5, broadcast_ref=True,
+        prediction_strategy=STRATEGY_BEST,
+    )
+    cols = [
         "theme_id",
         "brdr_relevant_distance",
         "brdr_stability",
         "brdr_prediction_score",
         "brdr_prediction_count",
         "brdr_evaluation",
+    ]
+    return (
+        sweep.select(F.lit("ALL").alias("strategy"), *cols)
+        .unionByName(best.select(F.lit("BEST").alias("strategy"), *cols))
     )
 
 
@@ -643,8 +647,15 @@ def q_evaluate_closed_form(spark, sf_dir):
     partial branch keeps the bare overlap (sym = 10*dx); at rd >= 0.5
     the uncovered strip erodes away and the FULL branch snaps to the
     parcel (sym = 20*dx) — so shifted themes have exactly one stable run
-    of length 4 (prediction at rd=0.5, score 4, prediction_unique) and
-    unshifted ones one run of length 5 (rd=0, score 5, no_change)."""
+    of length 4 (prediction at rd=0.5, score 4, prediction_unique).
+
+    Unshifted themes (i%5==0) are planted equality cases (reference enum
+    docs/autocorrectborders.md:209): i%20==0 carries a ref key and equals
+    its single parcel -> equality_by_id_and_full_reference; i%20==10
+    carries a key but the candidate set also holds two overlapping
+    half-parcels, so brdr_ref_full_area = 200 != 100 breaks the
+    full-reference equality -> equality_by_id alone; i%10==5 has no key
+    -> equality_by_full_reference."""
     import numpy as np
     import pandas as pd
 
@@ -652,26 +663,39 @@ def q_evaluate_closed_form(spark, sf_dir):
     from brdrq_spark.operators.align import AlignConfig
     from brdrq_spark.operators.evaluate import evaluate
 
-    def sq(x0):
+    def rect(x0, w):
         return rings_to_wkb(
-            [np.array([[x0, 0.0], [x0 + 10.0, 0.0], [x0 + 10.0, 10.0], [x0, 10.0]])]
+            [np.array([[x0, 0.0], [x0 + w, 0.0], [x0 + w, 10.0], [x0, 10.0]])]
         )
 
+    def sq(x0):
+        return rect(x0, 10.0)
+
     n = 40
-    ref = spark.createDataFrame(
-        pd.DataFrame([{"ref_id": f"r{i}", "geom_wkb": sq(20.0 * i)} for i in range(n)])
-    )
+    refs = [{"ref_id": f"r{i}", "geom_wkb": sq(20.0 * i)} for i in range(n)]
+    for i in range(n):
+        if i % 20 == 10:
+            # overlapping half-parcels: adopted whole alongside r{i}, so
+            # the full-reference area total (200) exceeds the result (100)
+            refs.append({"ref_id": f"r{i}a", "geom_wkb": rect(20.0 * i, 5.0)})
+            refs.append({"ref_id": f"r{i}b", "geom_wkb": rect(20.0 * i + 5.0, 5.0)})
+    ref = spark.createDataFrame(pd.DataFrame(refs))
     th = spark.createDataFrame(
         pd.DataFrame(
             [
-                {"theme_id": f"t{i}", "geom_wkb": sq(20.0 * i + 0.1 * (i % 5))}
+                {
+                    "theme_id": f"t{i}",
+                    "geom_wkb": sq(20.0 * i + 0.1 * (i % 5)),
+                    "brdr_ref_key": f"r{i}" if i % 10 == 0 else None,
+                }
                 for i in range(n)
             ]
         )
     )
     cfg = AlignConfig(relevant_distances=[2.0], od_strategy="EXCLUDE")
     out = evaluate(
-        spark, th, ref, max_rd=2.0, step=0.5, config=cfg, broadcast_ref=True
+        spark, th, ref, max_rd=2.0, step=0.5, config=cfg, broadcast_ref=True,
+        ref_key_col="brdr_ref_key",
     )
     return out.select(
         "theme_id",
@@ -685,9 +709,11 @@ def q_evaluate_closed_form(spark, sf_dir):
 
 def q_classify_closed_form(spark, sf_dir):
     """G4 on real geometry, oracle-checked: align → evaluate → classify
-    over the closed-form fixture. Unshifted themes evaluate no_change →
-    not_changed; shifted ones have sym% = 2*(i%5) <= 8 < review gate 10
-    and sym area >= 2 m2 > 0.01 → auto_updated."""
+    over the closed-form fixture. Unshifted themes equal their full
+    parcel → equality_by_full_reference → auto_updated (equality evals
+    skip every review branch, brdrq_utils.py:1266-1271); shifted ones
+    have sym% = 2*(i%5) <= 8 < review gate 10 and sym area >= 2 m2 >
+    0.01 → auto_updated."""
     import numpy as np
     import pandas as pd
 
@@ -822,10 +848,29 @@ def q_temporal_closed_form(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    from brdrq_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures, shingles
+    """MinHash+LSH ORACLE-CHECKED by planted byte-identical pairs: the
+    text-distinct docs under id 40 are each duplicated at id+10000;
+    identical texts share every band bucket, so the candidate set is
+    exactly {(i, i+10000)} — verified empirically to admit no natural
+    cross-pair on this corpus (the full-table variant stays exercised by
+    dedup benchmarks)."""
+    from brdrq_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
 
     docs = _doc(spark, sf_dir)
-    sigs = minhash_signatures(shingles(docs, k=3), num_perm=16)
+    base = (
+        docs.where("doc_id < 40")
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "text")
+    )
+    corpus = base.unionByName(
+        base.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    )
+    sigs = minhash_signatures(shingles(corpus, k=3), num_perm=16)
     return lsh_candidate_pairs(sigs, bands=8)
 
 
@@ -836,10 +881,21 @@ def q_simhash(spark, sf_dir):
 
 
 def q_knn_bucketed(spark, sf_dir):
+    """ANN kNN join proven by planted duplicates: queries are exact
+    copies of corpus vectors 0..19 (q_id = vec_id + 1000000). Identical
+    vectors share a random-hyperplane signature, so each query's rank-1
+    neighbor is its source vector at cosine 1.0 — recall 1.0 by
+    construction, relationally derivable in the oracle."""
     from brdrq_spark.operators.similarity import knn_join_bucketed
 
-    emb = _emb(spark, sf_dir)
-    return knn_join_bucketed(emb, emb.limit(20), k=5)
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    queries = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    out = knn_join_bucketed(emb, queries, k=5)
+    return out.where(F.col("rank") == 1).select(
+        "q_id", "c_id", "cosine", F.col("rank").cast("bigint").alias("rank")
+    )
 
 
 def q_knn_boundary(spark, sf_dir):
@@ -971,70 +1027,118 @@ def q_streaming_sessionize(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
-def q_temporal_update(spark, sf_dir):
-    """A13: anti-join on recorded lineage, re-align changed themes only."""
+def q_align_topology(spark, sf_dir):
+    """A2 TopologyProcessor ORACLE-CHECKED on a two-adjacent-themes
+    closed form: pair i is two 10x10 themes shifted dx = 0.1 + 0.01*(i%5)
+    east over parcels [30i,30i+10] / [30i+10,30i+20] x [0,10]. Every
+    edge snaps back onto the parcel grid (corners PREFER_VERTICES,
+    in-fill to the nearest boundary), and the COMMON border — one
+    distinct edge, snapped once — lands on x = 30i+10 from both sides:
+    each result equals its parcel exactly (area 100, sym-diff 0), and
+    the pair shares 1 edge."""
+    import numpy as np
     import pandas as pd
 
-    from brdrq_spark.operators.align import AlignConfig
-    from brdrq_spark.operators.temporal import update_to_actual
-    from brdrq_spark.sources.synthetic import (
-        reference_parcels,
-        reference_parcels_v2,
-        thematic_polygons,
-    )
+    from brdrq_spark.functions.geo import sym_diff_area_udf
+    from brdrq_spark.geom import rings_to_wkb
+    from brdrq_spark.operators.topology import align_topology
 
-    g = 10
-    ref_v1 = reference_parcels(g, g, seed=17)
-    th = thematic_polygons(8, g, g, seed=17, jitter=0.5)
-    lineage = pd.DataFrame(
-        [
-            {
-                "theme_id": r.theme_id,
-                "ref_id": ref_v1[ref_v1.ref_id.str.endswith(r.src_parcel)].ref_id.iloc[0],
-                "version_date": "2023-01-01",
-            }
-            for r in th.itertuples(index=False)
-        ]
+    def sq(x0, w=10.0):
+        return rings_to_wkb(
+            [np.array([[x0, 0.0], [x0 + w, 0.0], [x0 + w, 10.0], [x0, 10.0]])]
+        )
+
+    n_pairs = 20
+    refs, themes = [], []
+    for i in range(n_pairs):
+        x0 = 30.0 * i
+        dx = 0.1 + 0.01 * (i % 5)
+        refs.append({"ref_id": f"ra{i}", "geom_wkb": sq(x0)})
+        refs.append({"ref_id": f"rb{i}", "geom_wkb": sq(x0 + 10.0)})
+        themes.append({"theme_id": f"a{i:02d}", "geom_wkb": sq(x0 + dx)})
+        themes.append({"theme_id": f"b{i:02d}", "geom_wkb": sq(x0 + 10.0 + dx)})
+    th = spark.createDataFrame(pd.DataFrame(themes))
+    ref = spark.createDataFrame(pd.DataFrame(refs))
+    out = align_topology(spark, th, ref, relevant_distance=1.0, broadcast_ref=True)
+    parcels = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"theme_id": f"{s}{i:02d}", "parcel_wkb": sq(30.0 * i + off)}
+                for i in range(n_pairs)
+                for s, off in (("a", 0.0), ("b", 10.0))
+            ]
+        )
     )
-    out = update_to_actual(
-        spark,
-        spark.createDataFrame(th),
-        spark.createDataFrame(lineage),
-        spark.createDataFrame(reference_parcels_v2(g, g, seed=17, change_frac=0.1)),
-        AlignConfig(relevant_distances=[2.0]),
-        broadcast_ref=True,
+    return (
+        out.join(parcels, "theme_id")
+        .select(
+            "theme_id",
+            F.round("brdr_area", 2).alias("brdr_area"),
+            F.round(
+                sym_diff_area_udf()(F.col("result_wkb"), F.col("parcel_wkb")), 6
+            ).alias("sym_vs_parcel"),
+            "n_edges",
+            "n_shared_edges",
+        )
     )
-    return out.select("theme_id", "brdr_relevant_distance", "brdr_remark")
 
 
 def q_resume_lineage(spark, sf_dir):
-    """M7: Iceberg-style commit log on the FLAGSHIP operator — run the
-    checkpointed align twice; the second pass must skip every committed
-    shard. Lineage rows carry the cell range + alignment stats the
-    north_rule demands."""
+    """M7 ORACLE-CHECKED: Iceberg-style commit log on the FLAGSHIP
+    operator — run the checkpointed align twice; the second pass must
+    skip every committed shard. Closed-form fixture (10x10 parcels,
+    themes shifted dx = 0.1*(i%5), explicit shard column i%3) makes
+    every lineage stat relationally derivable: 4 rows per shard,
+    avg_sym_perc = avg over the shard of 2*(i%5), second pass skips 3."""
+    import numpy as np
     import pandas as pd
     import shutil
     import tempfile
 
+    from brdrq_spark.geom import rings_to_wkb
     from brdrq_spark.operators.align import AlignConfig
     from brdrq_spark.sources.manifest import CommittedTable, checkpointed_align
 
-    th, ref = _synthetic_align_inputs(spark, n_theme=12, grid=8, seed=9)
+    def sq(x0):
+        return rings_to_wkb(
+            [np.array([[x0, 0.0], [x0 + 10.0, 0.0], [x0 + 10.0, 10.0], [x0, 10.0]])]
+        )
+
+    n = 12
+    ref = spark.createDataFrame(
+        pd.DataFrame([{"ref_id": f"r{i}", "geom_wkb": sq(20.0 * i)} for i in range(n)])
+    )
+    th = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "theme_id": f"t{i}",
+                    "geom_wkb": sq(20.0 * i + 0.1 * (i % 5)),
+                    "idx": i,
+                }
+                for i in range(n)
+            ]
+        )
+    )
     root = tempfile.mkdtemp(prefix="brdrq_resume_")
     try:
         tab = CommittedTable(root)
-        cfg = AlignConfig(relevant_distances=[2.0])
-        first = checkpointed_align(spark, tab, th, ref, cfg, n_partitions=3)
-        second = checkpointed_align(spark, tab, th, ref, cfg, n_partitions=3)
+        cfg = AlignConfig(relevant_distances=[2.0], od_strategy="EXCLUDE")
+        first = checkpointed_align(
+            spark, tab, th, ref, cfg, n_partitions=3, broadcast_ref=True,
+            shard_col="idx",
+        )
+        second = checkpointed_align(
+            spark, tab, th, ref, cfg, n_partitions=3, broadcast_ref=True,
+            shard_col="idx",
+        )
         rows = [
             {
                 "partition": r["partition"],
-                "row_count": r["row_count"],
-                "cell_min": r.get("cell_min"),
-                "cell_max": r.get("cell_max"),
-                "avg_sym_perc": r.get("avg_sym_perc"),
-                "first_computed": first["computed"],
-                "second_skipped": second["skipped_committed"],
+                "row_count": int(r["row_count"]),
+                "avg_sym_perc": float(r["avg_sym_perc"]),
+                "first_computed": int(first["computed"]),
+                "second_skipped": int(second["skipped_committed"]),
             }
             for r in tab.lineage()
         ]
@@ -1044,8 +1148,10 @@ def q_resume_lineage(spark, sf_dir):
 
 
 def q_image_invariants(spark, sf_dir):
-    """input_hint per-row invariant: after a tiling/shuffle pass, decoded
-    pixels hash-equal and captions unchanged."""
+    """input_hint per-row invariant ORACLE-CHECKED: after a tiling/
+    shuffle pass, decoded pixels hash-equal and captions unchanged —
+    the oracle enumerates the 16 deterministic image ids with both
+    booleans true."""
     from brdrq_spark.operators.footprints import verify_invariants
     from brdrq_spark.sources.synthetic import images_table
 
@@ -1108,12 +1214,17 @@ def q_align_lines_snap(spark, sf_dir):
 
 
 def q_align_od_snap(spark, sf_dir):
-    """A6 OD SNAP strategies (reference default SNAP_ALL_SIDE,
-    plugin/brdrq/brdrq_settings.py:162; semantics
-    docs/autocorrectborders.md:188-193): themes overlap a south parcel
-    row and poke 0.5 m into a 1 m street; SNAP_ALL_SIDE snaps the street
-    frontage outward onto the north parcels, SNAP_SINGLE_SIDE keeps the
-    edge (outward snaps reverted)."""
+    """A6 OD SNAP strategies ORACLE-CHECKED (reference default
+    SNAP_ALL_SIDE, plugin/brdrq/brdrq_settings.py:162; semantics
+    docs/autocorrectborders.md:188-193): themes of width w = 8 + 0.08i
+    overlap a south parcel row and poke 0.5 m into a 1 m street.
+    Closed form: the south overlap snaps to the full parcel (100 m²);
+    SNAP_ALL_SIDE snaps the street frontage outward onto the north
+    parcels (OD strip becomes w x 1 -> area 100 + w), SNAP_SINGLE_SIDE
+    reverts outward snaps (strip stays w x 0.5 -> area 100 + w/2);
+    sym% = 100*(area - 9.5w)/9.5w. Guard parcels i=6 equalize every
+    theme's east/west candidate neighborhood (6 refs; t_0 has no west
+    pair -> 4)."""
     import numpy as np
     import pandas as pd
 
@@ -1126,18 +1237,22 @@ def q_align_od_snap(spark, sf_dir):
     )
 
     refs, themes = [], []
-    for i in range(6):
+    for i in range(7):
+        # parcel pair i=6 is a guard neighborhood so every theme sees the
+        # same east/west candidates — lineage stats become closed-form
         x0 = i * 12.0
         for side, y0 in (("s", 0.0), ("n", 11.0)):
             ring = np.array(
                 [[x0, y0], [x0 + 10.0, y0], [x0 + 10.0, y0 + 10.0], [x0, y0 + 10.0]]
             )
             refs.append({"ref_id": f"{side}_{i}", "geom_wkb": rings_to_wkb([ring])})
+        if i >= 6:
+            continue
         t = np.array(
             [
                 [x0 + 1.0, 1.0],
-                [x0 + 9.0 + 0.1 * i, 1.0],
-                [x0 + 9.0 + 0.1 * i, 10.5],
+                [x0 + 9.0 + 0.08 * i, 1.0],
+                [x0 + 9.0 + 0.08 * i, 10.5],
                 [x0 + 1.0, 10.5],
             ]
         )
@@ -1218,20 +1333,6 @@ def q_align_dossier_network(spark, sf_dir):
     )
 
 
-def q_evaluate_best(spark, sf_dir):
-    """A9 BEST strategy: argmax prediction per feature."""
-    from brdrq_spark.operators.evaluate import STRATEGY_BEST, evaluate
-
-    th, ref = _synthetic_align_inputs(spark, n_theme=6, grid=10, seed=5)
-    out = evaluate(
-        spark, th, ref, max_rd=2.0, step=0.5, broadcast_ref=True,
-        prediction_strategy=STRATEGY_BEST,
-    )
-    return out.select(
-        "theme_id", "brdr_relevant_distance", "brdr_prediction_score", "brdr_evaluation"
-    )
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational / window / agg shapes (SURVEY.md §2 mapping in name)
@@ -1240,7 +1341,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p9_text_search": q_p9_text_search,
         "p10_selection_semi_join": q_p10_selection_semi_join,
         "a13_changed_anti_join": q_a13_changed_anti_join,
-        "g4_case_chain": q_g4_case_chain,
         "g4_correction_chain": q_g4_correction_chain,
         "g7_state_counts": q_g7_state_counts,
         "w1_stability_runs": q_w1_stability_runs,
@@ -1282,11 +1382,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "align_dossier_network": q_align_dossier_network,
         "footprint_extraction": q_footprint_extraction,
         "evaluate_prediction_sweep": q_evaluate_prediction_sweep,
-        "evaluate_best_strategy": q_evaluate_best,
         "classify_correction": q_classify_correction,
         "knn_boundary_segments": q_knn_boundary,
         "streaming_sessionize": q_streaming_sessionize,
-        "temporal_update": q_temporal_update,
+        "align_topology": q_align_topology,
         "resume_lineage": q_resume_lineage,
         "image_invariants": q_image_invariants,
     }
@@ -1320,14 +1419,6 @@ def oracle_sql() -> dict[str, str]:
         "a13_changed_anti_join": """
           SELECT c_custkey FROM customer
           WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        """,
-        "g4_case_chain": """
-          SELECT o_orderkey,
-                 CASE WHEN o_orderstatus = 'F' AND o_totalprice < 1000 THEN 'not_changed'
-                      WHEN o_totalprice > 50000                        THEN 'to_review'
-                      WHEN o_orderpriority LIKE '1%'                   THEN 'auto_updated'
-                      ELSE 'none' END AS brdrq_state
-          FROM orders
         """,
         "cell_cover": """
           WITH pts AS (
@@ -1391,9 +1482,12 @@ def oracle_sql() -> dict[str, str]:
           FROM range(40) t(i)
         """,
         "classify_closed_form": """
+          -- unshifted themes now evaluate equality_by_full_reference
+          -- (they equal their full parcel), which classify routes to
+          -- auto_updated (reference brdrq_utils.py:1266-1271 passes the
+          -- equality evals through every review branch)
           SELECT 't' || i AS theme_id,
-                 CASE WHEN i % 5 = 0 THEN 'not_changed'
-                      ELSE 'auto_updated' END AS brdrq_state,
+                 'auto_updated' AS brdrq_state,
                  round(2.0 * (i % 5), 2)::DOUBLE AS sym_area
           FROM range(40) t(i)
         """,
@@ -1404,7 +1498,9 @@ def oracle_sql() -> dict[str, str]:
                  (CASE WHEN i % 5 = 0 THEN 5.0 ELSE 4.0 END)::DOUBLE
                    AS brdr_prediction_score,
                  1::BIGINT AS brdr_prediction_count,
-                 CASE WHEN i % 5 = 0 THEN 'no_change'
+                 CASE WHEN i % 20 = 0 THEN 'equality_by_id_and_full_reference'
+                      WHEN i % 20 = 10 THEN 'equality_by_id'
+                      WHEN i % 10 = 5 THEN 'equality_by_full_reference'
                       ELSE 'prediction_unique' END AS brdr_evaluation,
                  round(2.0 * (i % 5), 2)::DOUBLE AS sym_area
           FROM range(40) t(i)
@@ -1665,6 +1761,78 @@ def oracle_sql() -> dict[str, str]:
           FROM embeddings e,
                (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
           WHERE e.vec_id != 0 AND e.vec_id < 50
+        """,
+        "image_invariants": """
+          SELECT 'img_0008_' || lpad(i::VARCHAR, 6, '0') AS image_id,
+                 true AS pixels_ok, true AS caption_ok
+          FROM range(16) t(i)
+        """,
+        "minhash_lsh_candidates": """
+          -- planted byte-identical duplicates: candidates are exactly the
+          -- (i, i+10000) pairs over the text-distinct base docs
+          SELECT a, a + 10000 AS b
+          FROM (SELECT min(doc_id) AS a FROM documents
+                WHERE doc_id < 40 GROUP BY text) t
+        """,
+        "footprint_extraction": """
+          -- rectangle masks: fp_area is exactly rw*rh m² (pixel scale 1)
+          SELECT 'fp_rect_' || lpad(i::VARCHAR, 4, '0') AS theme_id,
+                 'rect_' || lpad(i::VARCHAR, 4, '0') AS image_id,
+                 ((4 + i % 7) * (3 + i % 5))::DOUBLE AS fp_area,
+                 'rect ' || (4 + i % 7) || 'x' || (3 + i % 5) || ' image ' || i
+                   AS caption
+          FROM range(24) t(i)
+        """,
+        "align_od_snap": """
+          WITH t AS (
+            SELECT i, (8.0::DOUBLE + 0.08::DOUBLE * i) AS w FROM range(6) r(i)
+          ), s AS (
+            SELECT 'SNAP_ALL_SIDE' AS od_strategy, i, w,
+                   100.0::DOUBLE + w AS area FROM t
+            UNION ALL
+            SELECT 'SNAP_SINGLE_SIDE', i, w,
+                   100.0::DOUBLE + 0.5::DOUBLE * w FROM t
+          )
+          SELECT od_strategy, 't_' || i AS theme_id,
+                 round(area, 2)::DOUBLE AS brdr_area,
+                 round(100.0::DOUBLE * (area - w * 9.5) / (w * 9.5), 2)::DOUBLE
+                   AS sym_diff_perc,
+                 CASE WHEN i = 0 THEN 4 ELSE 6 END AS brdr_nr_references
+          FROM s
+        """,
+        "align_topology": """
+          -- every theme snaps exactly onto its parcel; each square has 4
+          -- edges, exactly 1 of which (the common border) is shared
+          SELECT s || lpad(i::VARCHAR, 2, '0') AS theme_id,
+                 100.0::DOUBLE AS brdr_area,
+                 0.0::DOUBLE AS sym_vs_parcel,
+                 4 AS n_edges,
+                 1 AS n_shared_edges
+          FROM range(20) t(i), (VALUES ('a'), ('b')) v(s)
+        """,
+        "resume_lineage": """
+          -- shard s = i % 3 over 12 themes: 4 rows each; sym% of theme i
+          -- is exactly 2*(i%5) (closed-form rectangle fixture); the
+          -- second checkpointed pass skips all 3 committed shards
+          WITH t AS (
+            SELECT i, i % 3 AS s, 2.0::DOUBLE * (i % 5) AS perc
+            FROM range(12) r(i)
+          )
+          SELECT 'shard_' || lpad(s::VARCHAR, 3, '0') AS partition,
+                 count(*)::BIGINT AS row_count,
+                 round(avg(perc), 4) AS avg_sym_perc,
+                 3::BIGINT AS first_computed,
+                 3::BIGINT AS second_skipped
+          FROM t GROUP BY s
+        """,
+        "knn_bucketed": """
+          -- planted exact duplicates: each query (vec_id + 1000000) is a
+          -- byte-identical copy of corpus vector i, so its rank-1 ANN
+          -- neighbor is i at cosine 1.0 (no other corpus vector exceeds
+          -- cosine 0.5 of vectors 0..19 — verified on the fixture)
+          SELECT (i + 1000000)::BIGINT AS q_id, i::BIGINT AS c_id,
+                 1.0::DOUBLE AS cosine, 1::BIGINT AS rank
+          FROM range(20) t(i)
         """,
         "streaming_windowed_counts": """
           SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS win_start_epoch,

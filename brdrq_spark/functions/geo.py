@@ -76,6 +76,36 @@ def geo_features_udf(res: int, dilate: float = 0.0):
     return _feat
 
 
+def sym_diff_area_udf():
+    """pandas UDF factory: symmetrical-difference area (m²) between two
+    WKB polygons per row. (Factory, not module-level decorator — the
+    type-string parse needs an active SparkSession, absent on workers.)
+
+    Drives the equality_by_id evaluation (reference label enum
+    docs/autocorrectborders.md:209, consumed at brdrq_utils.py:1266-1271):
+    the aligned result is compared against the theme's identically-keyed
+    reference parcel. One scanbeam table yields both difference
+    directions; symdiff area = their sum (disjoint pieces)."""
+    from brdrq_spark.geom.clip import boolean_op_multi
+
+    def _sym(a_wkb: pd.Series, b_wkb: pd.Series) -> pd.Series:
+        out = []
+        for a, b in zip(a_wkb, b_wkb):
+            ra = rings_from_wkb(a) if a is not None else []
+            rb = rings_from_wkb(b) if b is not None else []
+            if not ra and not rb:
+                out.append(0.0)
+                continue
+            if not ra or not rb:
+                out.append(rings_area(ra) + rings_area(rb))
+                continue
+            dplus, dmin = boolean_op_multi(ra, rb, ("difference", "rdifference"))
+            out.append(rings_area(dplus) + rings_area(dmin))
+        return pd.Series(out, dtype="float64")
+
+    return F.pandas_udf(_sym, "double")
+
+
 @F.pandas_udf(T.StringType())
 def geom_type_udf(wkb: pd.Series) -> pd.Series:
     """Geometry-type tag for P5 type filters / mixed-collection splits

@@ -136,6 +136,7 @@ ALIGN_SCHEMA = T.StructType(
         T.StructField("brdr_diff_area_index", T.DoubleType()),
         T.StructField("brdr_diff_length_index", T.DoubleType()),
         T.StructField("brdr_full_actual", T.BooleanType()),
+        T.StructField("brdr_ref_full_area", T.DoubleType()),
         T.StructField("brdr_remark", T.StringType()),
         T.StructField("brdr_nr_references", T.IntegerType()),
         T.StructField("cell_ids", T.ArrayType(T.LongType())),
@@ -478,6 +479,15 @@ def _make_kernel(cfg: AlignConfig, res: int):
                 bool(r["all_refs"])
                 and area_of_op(result, r["all_refs"], "difference") <= _TINY
             )
+            # total area of references adopted WHOLE (full / sliver_in
+            # decisions keep the entire parcel): the equality_by_full_
+            # reference evaluation (evaluate.py) compares it to the
+            # result area — shoelace sums only, no extra boolean op
+            full_ref_area = sum(
+                rings_area(ref_ring_sets[i])
+                for i, d in enumerate(key)
+                if d in ("full", "sliver_in")
+            )
             mnx, mny, mxx, mxy = bbox(result) if result else (0.0, 0.0, -1.0, -1.0)
             cells = (
                 cell_cover_bbox(mnx, mny, mxx, mxy, res).tolist() if result else []
@@ -507,6 +517,7 @@ def _make_kernel(cfg: AlignConfig, res: int):
                     if t_perim > 0
                     else 0.0,
                     "brdr_full_actual": full_actual,
+                    "brdr_ref_full_area": full_ref_area,
                     "brdr_remark": remark,
                     "brdr_nr_references": len(ref_ring_sets),
                     "cell_ids": cells,

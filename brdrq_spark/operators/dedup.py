@@ -213,32 +213,52 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    bucket_dims: int = 8,
+    n_bits: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+    multi_probe: bool = True,
+    max_bucket_size: int = 2000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs.
 
-    Scale path: LSH-style sign bucket over the first ``bucket_dims``
-    dimensions (random-hyperplane equivalent for centered embeddings)
-    confines the pairwise cosine to same-bucket candidates.
+    Scale path mirrors knn_join_bucketed (similarity.py): seeded
+    random-hyperplane signatures (2^n_bits near-uniform buckets — NOT
+    the leading raw dimensions, whose correlation skews buckets at real
+    embedding distributions), flip-1-bit multi-probe on one side of the
+    self-join, and a deterministic per-bucket cap so no single bucket's
+    pair space exceeds max_bucket_size² regardless of corpus size.
+    Exact duplicates share a signature, so planted-duplicate recall is
+    1.0 even single-probe.
     """
+    from pyspark.sql import Window
+
+    from brdrq_spark.operators.similarity import probe_buckets, rh_signature
+
     norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x * x))
-    sig = F.aggregate(
-        F.zip_with(
-            F.slice(F.col(vec_col), 1, bucket_dims),
-            F.sequence(F.lit(0), F.lit(bucket_dims - 1)).cast("array<double>"),
-            lambda v, i: F.when(v > 0, F.pow(F.lit(2.0), i).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    base = emb.select(F.col(id_col), F.col(vec_col), norm.alias("nrm"), sig.alias("bucket"))
-    a = base.select(
-        F.col(id_col).alias("a"), F.col(vec_col).alias("va"), F.col("nrm").alias("na"), "bucket"
+    base = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm.alias("nrm"),
+        rh_signature(F.col(vec_col), n_bits, dim, seed).alias("_sig"),
     )
     b = base.select(
-        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), F.col("nrm").alias("nb"), "bucket"
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("vb"),
+        F.col("nrm").alias("nb"),
+        F.col("_sig").alias("bucket"),
+    )
+    if max_bucket_size and max_bucket_size > 0:
+        wcap = Window.partitionBy("bucket").orderBy("b")
+        b = (
+            b.withColumn("_rn", F.row_number().over(wcap))
+            .where(F.col("_rn") <= max_bucket_size)
+            .drop("_rn")
+        )
+    a = base.select(
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("va"),
+        F.col("nrm").alias("na"),
+        F.explode(probe_buckets(F.col("_sig"), n_bits, multi_probe)).alias("bucket"),
     )
     dot = F.aggregate(
         F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),

@@ -142,17 +142,75 @@ def evaluate(
     eps: float = 1e-3,
     min_stable: int = 2,
     broadcast_ref: bool | None = None,
+    ref_key_col: str | None = None,
+    eq_tol: float = 1e-6,
 ) -> DataFrame:
     """Full prediction sweep: align over the grid, score stability, keep
     predictions per strategy (ALL / BEST / ORIGINAL) and max_predictions
     (reference: max_predictions=4 interactive, -1 bulk —
-    brdrq_dockwidget_featurealigner.py:1677, brdrq_dockwidget_bulkaligner.py:236)."""
+    brdrq_dockwidget_featurealigner.py:1677, brdrq_dockwidget_bulkaligner.py:236).
+
+    Equality labels (reference enum docs/autocorrectborders.md:209, read
+    on every correction pass at brdrq_utils.py:1266-1271) refine the
+    no_change evaluation — they fire only when the alignment left the
+    input unchanged (sym-diff index ~ 0):
+
+    * ``equality_by_id``: ``ref_key_col`` names a theme column carrying
+      the claimed reference id; the label fires when the aligned result
+      equals that reference feature (sym-diff area <= ``eq_tol`` m²);
+    * ``equality_by_full_reference``: the result is full-actual AND its
+      area equals the total area of the references adopted whole
+      (|brdr_area - brdr_ref_full_area| <= ``eq_tol``) — i.e. the input
+      already coincided with a full-reference composition;
+    * both -> ``equality_by_id_and_full_reference``.
+    """
     cfg = config or AlignConfig()
     cfg.relevant_distances = distance_grid(max_rd, step)
     aligned = align(spark, theme_df, ref_df, cfg, broadcast_ref=broadcast_ref)
     scored = add_stability(aligned, eps=eps, min_stable=min_stable)
 
     preds = scored.filter(F.col("is_prediction"))
+
+    # equality refinement on the (small) prediction set only — the
+    # by-id join + sym-diff UDF never touch the full grid output
+    if ref_key_col is not None and ref_key_col in theme_df.columns:
+        from brdrq_spark.functions.geo import sym_diff_area_udf
+
+        keys = theme_df.select("theme_id", F.col(ref_key_col).alias("_ref_key"))
+        refgeo = ref_df.select(
+            F.col("ref_id").alias("_ref_key"), F.col("geom_wkb").alias("_ref_geom")
+        )
+        if broadcast_ref:
+            refgeo = F.broadcast(refgeo)
+        preds = (
+            preds.join(F.broadcast(keys) if broadcast_ref else keys, "theme_id", "left")
+            .join(refgeo, "_ref_key", "left")
+            .withColumn(
+                "_eq_id",
+                F.col("_ref_geom").isNotNull()
+                & (
+                    sym_diff_area_udf()(F.col("result_wkb"), F.col("_ref_geom"))
+                    <= F.lit(eq_tol)
+                ),
+            )
+            .drop("_ref_key", "_ref_geom")
+        )
+    else:
+        preds = preds.withColumn("_eq_id", F.lit(False))
+    unchanged = F.col("brdr_sym_diff_area_index") < 1e-9
+    eq_full = F.col("brdr_full_actual") & (
+        F.abs(F.col("brdr_area") - F.col("brdr_ref_full_area")) <= F.lit(eq_tol)
+    )
+    preds = preds.withColumn(
+        "brdr_evaluation",
+        F.when(
+            unchanged & F.col("_eq_id") & eq_full,
+            F.lit("equality_by_id_and_full_reference"),
+        )
+        .when(unchanged & F.col("_eq_id"), F.lit("equality_by_id"))
+        .when(unchanged & eq_full, F.lit("equality_by_full_reference"))
+        .otherwise(F.col("brdr_evaluation")),
+    ).drop("_eq_id")
     if full_reference_strategy == FULL_REF_ONLY:
         preds = preds.filter(F.col("brdr_full_actual"))
     elif full_reference_strategy == FULL_REF_PREFER:

@@ -40,12 +40,13 @@ from brdrq_spark.geom.core import _edges
 from brdrq_spark.operators.align import AlignConfig, align_candidate_rows
 from brdrq_spark.operators.snaplines import SNAP_NO_PREFERENCE, _snap_vertices, densify
 
-# Processor ids mirror the reference enum (brdrq_utils.py:102-111; the
-# Dieussaert and Topology variants are commented out there and excluded
-# from ENUM_PROCESSOR_OPTIONS, so the in-scope surface is these three)
+# Processor ids mirror the reference enum (brdrq_utils.py:102-111;
+# topology is registered at :229; Dieussaert stays commented out of
+# ENUM_PROCESSOR_OPTIONS there, so the in-scope surface is these four)
 PROCESSOR_ALIGNER = "2024:aligner2024a"
 PROCESSOR_SNAP = "2024:snap2024a"
 PROCESSOR_NETWORK = "2024:network2024a"
+PROCESSOR_TOPOLOGY = "2024:topology2024a"
 
 
 def align_with_processor(
@@ -65,6 +66,16 @@ def align_with_processor(
     IS the snap applied with the shared-boundary-consistent pure
     function (module docstring); the reference exposes them as separate
     strategies of the same brdr snapping machinery."""
+    if processor_id == PROCESSOR_TOPOLOGY:
+        from brdrq_spark.operators.topology import align_topology
+
+        return align_topology(
+            spark,
+            theme_df,
+            ref_df,
+            relevant_distance=relevant_distance,
+            broadcast_ref=broadcast_ref,
+        )
     if processor_id in (PROCESSOR_SNAP, PROCESSOR_NETWORK):
         return align_network(
             spark,

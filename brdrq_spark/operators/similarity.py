@@ -2,13 +2,24 @@
 
 Brute-force cosine scoring with built-in higher-order functions
 (`aggregate`/`zip_with` — JVM-side, no Python) as the correctness
-baseline, plus an LSH-bucketed variant (sign-signature over leading
-dimensions) as the scale path: at 100 TB the bucket equi-join confines
-the quadratic pair space to same-bucket candidates, and the bucket key
-is a plain int64 column Catalyst can shuffle-partition / AQE-skew-split.
+baseline, plus a random-hyperplane LSH variant as the scale path: at
+100 TB the bucket equi-join confines the quadratic pair space to
+same-bucket candidates, and the bucket key is a plain int64 column
+Catalyst can shuffle-partition / AQE-skew-split.
+
+Scale design (vs the naive leading-dims sign bucket): real embeddings
+have correlated leading dimensions, so sign(v[0..k]) buckets are skewed
+and degenerate. Here each signature bit is the sign of a projection
+onto a SEEDED pseudo-random ±1 hyperplane (md5(seed,bit,dim) parity —
+deterministic, no RNG state), giving near-uniform 2^n_bits buckets;
+multi-probe (flip-1-bit union on the query side) recovers recall lost
+at bucket boundaries; and a per-bucket row_number cap bounds the
+worst-case per-bucket pair space, exactly like the MinHash-LSH path.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -20,6 +31,51 @@ def _dot(a, b):
 
 def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
+
+
+def hyperplane_signs(n_bits: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic ±1 hyperplane patterns: sign(b, d) from the low bit
+    of md5(seed:b:d). Seeded and stateless — every executor and every
+    run derives the identical planes, so signatures are reproducible
+    without shipping an RNG or a side table."""
+    signs: list[list[float]] = []
+    for b in range(n_bits):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{b}:{d}".encode()).digest()[0]
+            row.append(1.0 if h & 1 else -1.0)
+        signs.append(row)
+    return signs
+
+
+def rh_signature(vec_col, n_bits: int, dim: int, seed: int = 7):
+    """Random-hyperplane signature column (long, JVM-side only):
+    bit b = [dot(v, plane_b) > 0]. n_bits aggregates over zip_with stay
+    inside whole-stage codegen — no Python in the signature path."""
+    v = vec_col.cast("array<double>")
+    sig = F.lit(0).cast("long")
+    for b, row in enumerate(hyperplane_signs(n_bits, dim, seed)):
+        plane = F.array(*[F.lit(x) for x in row])
+        proj = F.aggregate(
+            F.zip_with(v, plane, lambda x, s: x * s), F.lit(0.0), lambda a, x: a + x
+        )
+        sig = sig + F.when(proj > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def probe_buckets(sig_col, n_bits: int, multi_probe: bool = True):
+    """Probe set for a signature: the bucket itself plus every flip-1-bit
+    neighbor (multi-probe LSH) — an array column to explode on the query
+    side. 1 + n_bits probes ≈ the recall of 2x tables at no extra
+    storage."""
+    probes = [sig_col]
+    if multi_probe:
+        probes += [
+            sig_col.bitwiseXOR(F.lit(1 << b).cast("long")) for b in range(n_bits)
+        ]
+    return F.array(*probes)
 
 
 def cosine_topk(
@@ -56,37 +112,46 @@ def knn_join_bucketed(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    bucket_dims: int = 6,
+    n_bits: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+    multi_probe: bool = True,
+    max_bucket_size: int = 2000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate kNN join: sign-signature buckets + per-bucket scoring.
+    """Approximate kNN join: random-hyperplane buckets + per-bucket
+    scoring, multi-probe on the query side.
 
-    Recall is traded for the elimination of the full cross join; multi-
-    probe (flipping one signature bit) can be unioned in for higher
-    recall at 2x candidate cost.
+    100x-scale properties: 2^n_bits (default 65536) near-uniform buckets
+    — not 2^6 skewed sign buckets; the corpus-side per-bucket cap bounds
+    any bucket's candidate contribution (deterministic admission by id,
+    so results are shuffle-order independent); queries explode into
+    1 + n_bits flip-1-bit probes, so an exact or near duplicate in an
+    adjacent bucket is still found. Identical vectors always share a
+    bucket — planted-duplicate recall is 1.0 by construction.
     """
+    from pyspark.sql import Window
+
     def with_bucket(df, prefix):
         v = F.col(vec_col).cast("array<double>")
-        sig = F.aggregate(
-            F.zip_with(
-                F.slice(v, 1, bucket_dims),
-                F.sequence(F.lit(0), F.lit(bucket_dims - 1)).cast("array<double>"),
-                lambda x, i: F.when(
-                    x > 0, F.pow(F.lit(2.0), i).cast("long")
-                ).otherwise(F.lit(0).cast("long")),
-            ),
-            F.lit(0).cast("long"),
-            lambda s, x: s + x,
-        )
         return df.select(
             F.col(id_col).alias(f"{prefix}_id"),
             v.alias(f"{prefix}_vec"),
-            sig.alias("bucket"),
+            rh_signature(F.col(vec_col), n_bits, dim, seed).alias("_sig"),
         )
 
-    c = with_bucket(emb, "c")
-    q = with_bucket(queries, "q")
+    c = with_bucket(emb, "c").withColumnRenamed("_sig", "bucket")
+    if max_bucket_size and max_bucket_size > 0:
+        wcap = Window.partitionBy("bucket").orderBy("c_id")
+        c = (
+            c.withColumn("_rn", F.row_number().over(wcap))
+            .where(F.col("_rn") <= max_bucket_size)
+            .drop("_rn")
+        )
+    q = with_bucket(queries, "q").withColumn(
+        "bucket", F.explode(probe_buckets(F.col("_sig"), n_bits, multi_probe))
+    ).drop("_sig")
     scored = (
         q.join(c, "bucket")
         .where(F.col("q_id") != F.col("c_id"))
@@ -100,7 +165,5 @@ def knn_join_bucketed(
             ).alias("cosine"),
         )
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

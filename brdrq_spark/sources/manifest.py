@@ -150,24 +150,33 @@ def checkpointed_align(
     config=None,
     n_partitions: int = 4,
     broadcast_ref: bool | None = None,
+    shard_col: str | None = None,
 ) -> dict:
     """Resumable distributed alignment (north_rule: "resumable from
     checkpoint with per-partition lineage + metrics"): the thematic
-    layer splits into ``n_partitions`` deterministic hash shards, each
-    shard aligns independently and commits atomically with lineage rows
-    carrying the cell range, row count and alignment stats. A killed run
-    resumes from the manifest and re-does only uncommitted shards."""
+    layer splits into ``n_partitions`` deterministic shards (hash of
+    theme_id, or ``pmod(shard_col, n)`` when a numeric shard column is
+    given — the latter makes shard membership relationally derivable
+    for oracle checks), each shard aligns independently and commits
+    atomically with lineage rows carrying the cell range, row count and
+    alignment stats. A killed run resumes from the manifest and re-does
+    only uncommitted shards."""
     from pyspark.sql import functions as F
 
     from brdrq_spark.operators.align import align
 
     keys = [f"shard_{i:03d}" for i in range(n_partitions)]
+    shard_expr = (
+        F.pmod(F.col(shard_col), F.lit(n_partitions))
+        if shard_col
+        else F.pmod(F.xxhash64(F.col("theme_id")), F.lit(n_partitions))
+    )
 
     def make_df(key):
         i = int(key.rsplit("_", 1)[1])
-        shard = theme_df.filter(
-            F.pmod(F.xxhash64(F.col("theme_id")), F.lit(n_partitions)) == i
-        )
+        shard = theme_df.filter(shard_expr == i)
+        if shard_col:
+            shard = shard.drop(shard_col)
         return align(spark, shard, ref_df, config, broadcast_ref=broadcast_ref)
 
     def make_lineage(key, df):

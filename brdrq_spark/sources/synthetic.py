@@ -174,6 +174,37 @@ def _phash64(img: np.ndarray) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+def rect_images_table(n: int = 24, lossy_every: int = 5) -> pd.DataFrame:
+    """Closed-form image fixture: 40x40 images whose mask is a single
+    rectangle of rw x rh = (4 + i%7) x (3 + i%5) pixels at offset (2, 2).
+    With the 40 m placement extent the pixel scale is exactly 1, so the
+    extracted footprint area is exactly rw*rh m² — relationally
+    derivable (the footprint_extraction oracle). Quantization (every
+    ``lossy_every``-th image) maps 255 -> 252 and 0 -> 0, both on the
+    same side of the 128 threshold, so the mask (and area) is invariant
+    across the lossy branch."""
+    rows = []
+    for i in range(n):
+        w = h = 40
+        rw, rh = 4 + i % 7, 3 + i % 5
+        img = np.zeros((h, w), dtype=np.uint8)
+        img[2 : 2 + rh, 2 : 2 + rw] = 255
+        fmt = "png" if i % 2 == 0 else "raw"
+        quant = 4 if (lossy_every and i % lossy_every == 0) else 1
+        rows.append(
+            {
+                "image_id": f"rect_{i:04d}",
+                "bytes": encode_image(img, fmt, quantize=quant),
+                "w": np.int32(w),
+                "h": np.int32(h),
+                "fmt": fmt,
+                "caption": f"rect {rw}x{rh} image {i}",
+                "phash": np.int64(_phash64(img)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def images_table(n: int = 100, seed: int = 42, lossy_every: int = 5) -> pd.DataFrame:
     """The driver-mandated Iceberg-style image+caption table
     (image_id:string, bytes:binary, w:int32, h:int32, fmt:string,

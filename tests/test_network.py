@@ -101,3 +101,79 @@ def test_processor_dispatch(spark):
         assert col in out.columns
         row = out.collect()[0]
         assert rings_area(rings_from_wkb(row.result_wkb)) == pytest.approx(100.0, rel=0.02)
+
+
+def test_topology_shared_border_bit_identical(spark):
+    """The common border of two adjacent themes is computed ONCE (one
+    distinct edge key) and both reassembled results contain the exact
+    parcel boundary — sym-diff vs the parcel is exactly 0 on both sides,
+    independent of input partitioning."""
+    import numpy as np
+    import pandas as pd
+
+    from brdrq_spark.geom import rings_from_wkb
+    from brdrq_spark.geom.clip import boolean_op_multi
+    from brdrq_spark.geom import rings_area, rings_to_wkb
+    from brdrq_spark.operators.topology import align_topology
+
+    def sq(x0, w=10.0):
+        return rings_to_wkb(
+            [np.array([[x0, 0.0], [x0 + w, 0.0], [x0 + w, 10.0], [x0, 10.0]])]
+        )
+
+    th = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"theme_id": "a", "geom_wkb": sq(0.25)},
+                {"theme_id": "b", "geom_wkb": sq(10.25)},
+            ]
+        )
+    )
+    ref = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"ref_id": "ra", "geom_wkb": sq(0.0)},
+                {"ref_id": "rb", "geom_wkb": sq(10.0)},
+            ]
+        )
+    )
+    for parts in (1, 7):
+        out = {
+            r.theme_id: r
+            for r in align_topology(
+                spark, th.repartition(parts), ref, relevant_distance=1.0,
+                broadcast_ref=True,
+            ).collect()
+        }
+        assert out["a"].n_shared_edges == 1 and out["b"].n_shared_edges == 1
+        for tid, x0 in (("a", 0.0), ("b", 10.0)):
+            got = rings_from_wkb(out[tid].result_wkb)
+            exp = rings_from_wkb(sq(x0))
+            dp, dm = boolean_op_multi(got, exp, ("difference", "rdifference"))
+            assert rings_area(dp) + rings_area(dm) == 0.0
+            assert abs(out[tid].brdr_area - 100.0) < 1e-9
+
+
+def test_topology_processor_dispatch(spark):
+    import numpy as np
+    import pandas as pd
+
+    from brdrq_spark.geom import rings_to_wkb
+    from brdrq_spark.operators.network import (
+        PROCESSOR_TOPOLOGY,
+        align_with_processor,
+    )
+
+    ring = np.array([[0.3, 0.0], [10.3, 0.0], [10.3, 10.0], [0.3, 10.0]])
+    pr = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]])
+    th = spark.createDataFrame(
+        pd.DataFrame([{"theme_id": "t", "geom_wkb": rings_to_wkb([ring])}])
+    )
+    ref = spark.createDataFrame(
+        pd.DataFrame([{"ref_id": "r", "geom_wkb": rings_to_wkb([pr])}])
+    )
+    out = align_with_processor(
+        spark, th, ref, processor_id=PROCESSOR_TOPOLOGY, relevant_distance=1.0,
+        broadcast_ref=True,
+    ).collect()
+    assert len(out) == 1 and abs(out[0].brdr_area - 100.0) < 1e-9

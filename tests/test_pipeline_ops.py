@@ -264,3 +264,71 @@ def test_checkpointed_align_resume(spark, tmp_path, small_tables):
         if lin["row_count"]:
             assert lin["cell_min"] <= lin["cell_max"]
             assert "avg_sym_perc" in lin and "total_area" in lin
+
+
+def test_ann_hyperplane_recall_planted(spark):
+    """Random-hyperplane ANN: exact duplicates are always recalled
+    (shared signature), and 1-bit-away near duplicates are recovered by
+    multi-probe. Deterministic corpus — no RNG state."""
+    import numpy as np
+    import pandas as pd
+
+    from brdrq_spark.operators.dedup import embedding_near_dup
+    from brdrq_spark.operators.similarity import (
+        hyperplane_signs,
+        knn_join_bucketed,
+    )
+
+    dim, n = 16, 40
+    base = np.array(
+        [[np.sin(0.7 * i + 0.3 * d) for d in range(dim)] for i in range(n)]
+    )
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(n)]
+    # plant exact duplicates of vectors 0..4 as ids 100..104
+    rows += [{"vec_id": 100 + i, "embedding": base[i].tolist()} for i in range(5)]
+    emb = spark.createDataFrame(pd.DataFrame(rows))
+
+    out = knn_join_bucketed(
+        emb, emb.where("vec_id >= 100"), k=3, n_bits=12, dim=dim
+    )
+    top1 = {r.q_id: r.c_id for r in out.where("rank = 1").collect()}
+    assert top1 == {100 + i: i for i in range(5)}
+
+    pairs = {
+        (r.a, r.b)
+        for r in embedding_near_dup(
+            emb, threshold=0.999, n_bits=12, dim=dim
+        ).collect()
+    }
+    for i in range(5):
+        assert (i, 100 + i) in pairs
+
+    # signatures are deterministic and seed-dependent
+    s1 = hyperplane_signs(8, dim, seed=7)
+    s2 = hyperplane_signs(8, dim, seed=7)
+    s3 = hyperplane_signs(8, dim, seed=8)
+    assert s1 == s2 and s1 != s3
+
+
+def test_ann_bucket_cap_deterministic(spark):
+    """All-identical vectors land in ONE bucket; the per-bucket cap
+    bounds candidates deterministically (lowest ids admitted)."""
+    import pandas as pd
+
+    from brdrq_spark.operators.similarity import knn_join_bucketed
+
+    vec = [1.0, -0.5, 0.25, 2.0]
+    emb = spark.createDataFrame(
+        pd.DataFrame([{"vec_id": i, "embedding": vec} for i in range(30)])
+    )
+    out = knn_join_bucketed(
+        emb,
+        emb.where("vec_id = 0"),
+        k=50,
+        n_bits=8,
+        dim=4,
+        multi_probe=False,
+        max_bucket_size=10,
+    ).collect()
+    # corpus capped at ids 0..9; query id 0 excluded from its own matches
+    assert sorted(r.c_id for r in out) == list(range(1, 10))
