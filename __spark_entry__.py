@@ -106,11 +106,23 @@ def q_p6_nonzero_filter(spark, sf_dir):
 
 
 def q_p9_text_search(spark, sf_dir):
+    """P9 prioritized-field attribute search (reference keyword-ranked
+    field subset capped at 15, brdrq_dockwidget_featurealigner.py:
+    166-187, 479-529): over the 17-column lineitem x orders join the 8
+    keyword-matched fields rank first, 7 remaining fill the cap, and
+    o_orderdate / o_orderpriority fall OFF the end — a needle occurring
+    only there does not match. Needle '-05-2' hits l_shipdate (selected)
+    but its o_orderdate occurrences are invisible."""
+    from brdrq_spark.operators.textstats import prioritized_text_search
+
     _views(spark, sf_dir)
-    return spark.sql("""
-      SELECT doc_id, lang, source FROM documents
-      WHERE lower(text) LIKE '%window%'
-    """)
+    joined = spark.table("lineitem").join(
+        spark.table("orders"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return prioritized_text_search(joined, "-05-2").select(
+        "l_orderkey", "l_linenumber"
+    )
 
 
 def q_p10_selection_semi_join(spark, sf_dir):
@@ -1408,8 +1420,25 @@ def oracle_sql() -> dict[str, str]:
           FROM lineitem WHERE l_discount != 0
         """,
         "p9_text_search": """
-          SELECT doc_id, lang, source FROM documents
-          WHERE lower(text) LIKE '%window%'
+          -- the 15 selected fields (8 keyword-matched + 7 fill); the
+          -- capped-off o_orderdate / o_orderpriority are ABSENT
+          SELECT l_orderkey, l_linenumber
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE contains(lower(l_orderkey::VARCHAR), '-05-2')
+             OR contains(lower(l_partkey::VARCHAR), '-05-2')
+             OR contains(lower(l_suppkey::VARCHAR), '-05-2')
+             OR contains(lower(l_linenumber::VARCHAR), '-05-2')
+             OR contains(lower(l_linestatus::VARCHAR), '-05-2')
+             OR contains(lower(o_orderkey::VARCHAR), '-05-2')
+             OR contains(lower(o_custkey::VARCHAR), '-05-2')
+             OR contains(lower(o_orderstatus::VARCHAR), '-05-2')
+             OR contains(lower(l_quantity::VARCHAR), '-05-2')
+             OR contains(lower(l_extendedprice::VARCHAR), '-05-2')
+             OR contains(lower(l_discount::VARCHAR), '-05-2')
+             OR contains(lower(l_tax::VARCHAR), '-05-2')
+             OR contains(lower(l_returnflag::VARCHAR), '-05-2')
+             OR contains(lower(l_shipdate::VARCHAR), '-05-2')
+             OR contains(lower(o_totalprice::VARCHAR), '-05-2')
         """,
         "p10_selection_semi_join": """
           SELECT o_orderkey FROM orders

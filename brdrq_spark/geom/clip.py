@@ -254,22 +254,37 @@ def _key(x: float, y: float) -> tuple[int, int]:
 
 
 def _stitch(traps) -> list[np.ndarray]:
-    """Merge trapezoids into orientation-encoded rings (CCW outer, CW hole)."""
+    """Merge trapezoids into orientation-encoded rings (CCW outer, CW hole).
+
+    Stage 1 (O(n_traps), the kernel hot path) is fully vectorized:
+    horizontal interval cancellation and directed-side annihilation run
+    as lexsort + reduceat group sums instead of per-trapezoid dict
+    updates. Stages 2-3 (junction weld + ring chaining) stay in Python —
+    they see only the surviving boundary segments, which is orders of
+    magnitude smaller than the trapezoid count."""
+    from collections import defaultdict
+
     traps = np.asarray(traps, dtype=np.float64)
     if traps.size == 0:
         return []
     if traps.ndim == 1:
         traps = traps[None, :]
-    # --- horizontal interval cancellation per y ---------------------------
-    # bottom of a trapezoid: interior above => rightward (+1)
-    # top: interior below => leftward (-1); overlaps cancel.
+
+    K = np.round(traps * _INV_SNAP).astype(np.int64)
+    if len(K) < 96:
+        raw = _stitch_events_small(K)
+    else:
+        raw = _stitch_events_vec(K)
+    return _weld_and_chain(raw)
+
+
+def _stitch_events_small(K) -> list:
+    """Dict-based event extraction — faster than numpy group-sums below
+    ~10² trapezoids (the common case: one parcel-sized boolean op)."""
     from collections import defaultdict
 
     deltas: dict[int, dict[int, int]] = defaultdict(lambda: defaultdict(int))
-    # directed side segments with cancellation: a segment and its exact
-    # reverse (a shared internal edge, e.g. two parcels in the same
-    # scanbeam meeting at x) annihilate, like horizontal intervals do.
-    side_count: dict[tuple[tuple[int, int], tuple[int, int]], int] = defaultdict(int)
+    side_count: dict[tuple, int] = defaultdict(int)
 
     def add_side(p, q):
         if side_count[(q, p)] > 0:
@@ -277,7 +292,6 @@ def _stitch(traps) -> list[np.ndarray]:
         else:
             side_count[(p, q)] += 1
 
-    K = np.round(traps * _INV_SNAP).astype(np.int64)
     for kylo, kyhi, kl_lo, kr_lo, kl_hi, kr_hi in K:
         kylo = int(kylo); kyhi = int(kyhi)
         kl_lo = int(kl_lo); kr_lo = int(kr_lo)
@@ -309,9 +323,120 @@ def _stitch(traps) -> list[np.ndarray]:
                 if level > 0:  # net bottom boundary -> rightward
                     raw.append(((prev, ky), (x, ky)))
                 else:  # net top boundary -> leftward
-                    raw.append((((x), ky), ((prev), ky)))
+                    raw.append(((x, ky), (prev, ky)))
             level += dd[x]
             prev = x
+    return raw
+
+
+def _stitch_events_vec(K) -> list:
+    """Vectorized event extraction for LARGE trapezoid tables (dense
+    urban unions, capsule-buffer unions): horizontal interval
+    cancellation and directed-side annihilation as lexsort + reduceat
+    group sums — O(n log n) numpy instead of per-trapezoid dict ops."""
+    kylo, kyhi = K[:, 0], K[:, 1]
+    kl_lo, kr_lo, kl_hi, kr_hi = K[:, 2], K[:, 3], K[:, 4], K[:, 5]
+    keep = ~((kl_lo == kr_lo) & (kl_hi == kr_hi))  # zero width at snap res
+    kylo, kyhi = kylo[keep], kyhi[keep]
+    kl_lo, kr_lo, kl_hi, kr_hi = (
+        kl_lo[keep], kr_lo[keep], kl_hi[keep], kr_hi[keep]
+    )
+
+    raw: list[tuple[tuple[int, int], tuple[int, int]]] = []
+
+    # --- horizontal interval cancellation per y ---------------------------
+    # bottom of a trapezoid: interior above => rightward (+1)
+    # top: interior below => leftward (-1); overlaps cancel.
+    b = kl_lo < kr_lo
+    t = kl_hi < kr_hi
+    nb, nt = int(b.sum()), int(t.sum())
+    if nb + nt:
+        ev_y = np.concatenate([kylo[b], kylo[b], kyhi[t], kyhi[t]])
+        ev_x = np.concatenate([kl_lo[b], kr_lo[b], kl_hi[t], kr_hi[t]])
+        ev_d = np.concatenate(
+            [
+                np.ones(nb, np.int64),
+                -np.ones(nb, np.int64),
+                -np.ones(nt, np.int64),
+                np.ones(nt, np.int64),
+            ]
+        )
+        order = np.lexsort((ev_x, ev_y))
+        ys, xs, ds = ev_y[order], ev_x[order], ev_d[order]
+        new = np.empty(len(ys), bool)
+        new[0] = True
+        new[1:] = (ys[1:] != ys[:-1]) | (xs[1:] != xs[:-1])
+        starts = np.flatnonzero(new)
+        gy, gx = ys[starts], xs[starts]
+        gd = np.add.reduceat(ds, starts)
+        rowstart = np.empty(len(gy), bool)
+        rowstart[0] = True
+        rowstart[1:] = gy[1:] != gy[:-1]
+        first = np.flatnonzero(rowstart)
+        counts = np.diff(np.append(first, len(gy)))
+        cs = np.cumsum(gd)
+        row_base = cs[first] - gd[first]  # cumsum before the row began
+        level = cs - np.repeat(row_base, counts)  # level AFTER gd[i]
+        rowlast = np.append(rowstart[1:], True)
+        m = (~rowlast) & (level != 0)
+        mi = np.flatnonzero(m)
+        for i in mi:
+            if level[i] > 0:  # net bottom boundary -> rightward
+                raw.append(
+                    ((int(gx[i]), int(gy[i])), (int(gx[i + 1]), int(gy[i])))
+                )
+            else:  # net top boundary -> leftward
+                raw.append(
+                    ((int(gx[i + 1]), int(gy[i])), (int(gx[i]), int(gy[i])))
+                )
+
+    # --- directed side segments with cancellation --------------------------
+    # a segment and its exact reverse (a shared internal edge, e.g. two
+    # parcels in the same scanbeam meeting at x) annihilate; net signed
+    # count per canonical (lexicographically ordered) pair is equivalent
+    # to the sequential cancel-or-add loop.
+    # left side goes down (top->bottom), right side up (CCW interior left)
+    px = np.concatenate([kl_hi, kr_lo])
+    py = np.concatenate([kyhi, kylo])
+    qx = np.concatenate([kl_lo, kr_hi])
+    qy = np.concatenate([kylo, kyhi])
+    nz = ~((px == qx) & (py == qy))
+    px, py, qx, qy = px[nz], py[nz], qx[nz], qy[nz]
+    if len(px):
+        swap = (qx < px) | ((qx == px) & (qy < py))
+        ax = np.where(swap, qx, px)
+        ay = np.where(swap, qy, py)
+        bx = np.where(swap, px, qx)
+        by = np.where(swap, py, qy)
+        sgn = np.where(swap, -1, 1).astype(np.int64)
+        order = np.lexsort((by, bx, ay, ax))
+        ax, ay, bx, by, sgn = (
+            ax[order], ay[order], bx[order], by[order], sgn[order]
+        )
+        new = np.empty(len(ax), bool)
+        new[0] = True
+        new[1:] = (
+            (ax[1:] != ax[:-1]) | (ay[1:] != ay[:-1])
+            | (bx[1:] != bx[:-1]) | (by[1:] != by[:-1])
+        )
+        starts = np.flatnonzero(new)
+        net = np.add.reduceat(sgn, starts)
+        for j, s in zip(starts, net):
+            if s == 0:
+                continue
+            p = (int(ax[j]), int(ay[j]))
+            q = (int(bx[j]), int(by[j]))
+            if s > 0:
+                raw.extend([(p, q)] * int(s))
+            else:
+                raw.extend([(q, p)] * int(-s))
+    return raw
+
+
+def _weld_and_chain(raw: list) -> list[np.ndarray]:
+    """Stages 2-3 of _stitch: junction weld + ring chaining. Input is the
+    surviving boundary segment list (small), so plain Python."""
+    from collections import defaultdict
 
     # --- merge near-coincident junctions ----------------------------------
     # At a snapped crossing event the two edges evaluate to slightly

@@ -357,7 +357,11 @@ def _make_stream_kernel(cfg: AlignConfig, res: int):
 def _make_kernel(cfg: AlignConfig, res: int):
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         theme_id = pdf["theme_id"].iloc[0]
-        theme_rings = rings_from_wkb(pdf["theme_wkb"].iloc[0])
+        # first NON-NULL WKB: oversized features ship NULL through the
+        # cell explode (hybrid shipping) and deliver their WKB on the
+        # bare union row instead
+        _tw = pdf["theme_wkb"].dropna()
+        theme_rings = rings_from_wkb(_tw.iloc[0]) if len(_tw) else []
         remark = ""
         # dedupe: shared cells produce repeated (theme, ref) rows; doing
         # it here replaces a full distinct() shuffle stage. refmap keeps
@@ -551,54 +555,42 @@ def align_candidate_rows(
     # repartition by theme_id — no distinct, no join-back shuffles.
     # Duplicate (theme, ref) pairs from shared cells are deduped inside
     # the kernel (cheap python set) instead of a full shuffle stage.
-    from brdrq_spark.operators.candidates import with_geo_features
+    # decode + cover + explode happen inside ONE Arrow pass per side
+    # (cells_exploded) — no generator node, the UDF runs once per row.
+    from brdrq_spark.operators.candidates import cells_exploded, plan_partitions
 
     par = spark.sparkContext.defaultParallelism
-    if theme_df.rdd.getNumPartitions() < par:
+    if plan_partitions(theme_df) < par:
         theme_df = theme_df.repartition(par)
-    if ref_df.rdd.getNumPartitions() < par:
+    if plan_partitions(ref_df) < par:
         ref_df = ref_df.repartition(par)
 
     # hybrid WKB shipping: small features' WKB rides the cell explode
     # (zero extra shuffle); oversized ones ship NULL and re-join their
     # WKB by theme_id below — duplication stays bounded by the budget
-    inline_ok = (
-        F.size("cells").cast("long") * F.length("geom_wkb").cast("long")
-        <= F.lit(int(cfg.max_inline_wkb_bytes))
-    )
-    t_cells = (
-        with_geo_features(
-            theme_df.select("theme_id", "geom_wkb"), "geom_wkb", res, dilate
-        )
-        .select(
-            "theme_id",
-            F.when(inline_ok, F.col("geom_wkb")).alias("theme_wkb"),
-            F.col("minx").alias("t_minx"),
-            F.col("miny").alias("t_miny"),
-            F.col("maxx").alias("t_maxx"),
-            F.col("maxy").alias("t_maxy"),
-            F.explode_outer("cells").alias("cell"),
-        )
+    t_cells = cells_exploded(
+        theme_df,
+        "theme_id",
+        res,
+        dilate,
+        "t",
+        wkb_out="theme_wkb",
+        inline_budget=int(cfg.max_inline_wkb_bytes),
+        outer=True,
     )
     ref_ver = (
         F.col(cfg.ref_version_col).cast("string")
         if cfg.ref_version_col in ref_df.columns
         else F.lit(None).cast("string")
     ).alias("ref_version")
-    r_cells = (
-        with_geo_features(
-            ref_df.select("ref_id", "geom_wkb", ref_ver), "geom_wkb", res, 0.0
-        )
-        .select(
-            F.col("ref_id"),
-            "ref_version",
-            F.col("geom_wkb").alias("ref_wkb"),
-            F.col("minx").alias("r_minx"),
-            F.col("miny").alias("r_miny"),
-            F.col("maxx").alias("r_maxx"),
-            F.col("maxy").alias("r_maxy"),
-            F.explode("cells").alias("cell"),
-        )
+    r_cells = cells_exploded(
+        ref_df.select("ref_id", "geom_wkb", ref_ver),
+        "ref_id",
+        res,
+        0.0,
+        "r",
+        wkb_out="ref_wkb",
+        extra_cols=["ref_version"],
     )
     join_keys = ["cell"]
     if cfg.salt > 0 and not broadcast_ref:
@@ -623,26 +615,19 @@ def align_candidate_rows(
     )
     # every theme emits a result row even with zero candidates (remark
     # no_reference_candidates): union one bare row per theme — a no-op
-    # for matched themes (kernel drops null refs and dedupes)
+    # for matched themes (kernel drops null refs and dedupes). The bare
+    # row ALWAYS carries the theme WKB, so oversized features (hybrid
+    # shipping sent NULL through the cell explode) need no re-join: the
+    # kernel reads the group's first non-null WKB. One union branch,
+    # each MapInPandas pass evaluates exactly once.
     cand = cand.select("theme_id", "theme_wkb", "ref_wkb", "ref_id", "ref_version")
-    # re-attach WKB for the oversized features (NULL theme_wkb rows);
-    # the join keys on theme_id, the same partitioning the kernel stage
-    # repartitions to — one co-keyed join instead of cells x WKB copies
-    big = cand.where(F.col("theme_wkb").isNull()).drop("theme_wkb").join(
-        theme_df.select("theme_id", F.col("geom_wkb").alias("theme_wkb")),
-        "theme_id",
-    ).select("theme_id", "theme_wkb", "ref_wkb", "ref_id", "ref_version")
-    grouped = (
-        cand.where(F.col("theme_wkb").isNotNull())
-        .unionByName(big)
-        .unionByName(
-            theme_df.select(
-                "theme_id",
-                F.col("geom_wkb").alias("theme_wkb"),
-                F.lit(None).cast("binary").alias("ref_wkb"),
-                F.lit(None).cast("string").alias("ref_id"),
-                F.lit(None).cast("string").alias("ref_version"),
-            )
+    grouped = cand.unionByName(
+        theme_df.select(
+            "theme_id",
+            F.col("geom_wkb").alias("theme_wkb"),
+            F.lit(None).cast("binary").alias("ref_wkb"),
+            F.lit(None).cast("string").alias("ref_id"),
+            F.lit(None).cast("string").alias("ref_version"),
         )
     )
     return grouped, res

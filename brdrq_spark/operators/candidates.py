@@ -22,9 +22,116 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from brdrq_spark.functions.geo import geo_features_udf
 from brdrq_spark.grid import pick_resolution
+
+
+def plan_partitions(df: DataFrame) -> int:
+    """Physical partition count of a DataFrame WITHOUT the classic
+    ``df.rdd`` Python-RDD conversion (which wraps the whole plan in a
+    Python serializer — avoidable planning cost on wide plans at
+    cluster scale). ``queryExecution().toRdd()`` stays JVM-side; falls
+    back to ``df.rdd`` on non-classic sessions (e.g. Connect)."""
+    try:
+        return df._jdf.queryExecution().toRdd().getNumPartitions()
+    except Exception:
+        return df.rdd.getNumPartitions()
+
+
+def cells_exploded(
+    df: DataFrame,
+    id_col: str,
+    res: int,
+    dilate: float,
+    prefix: str,
+    wkb_out: str | None = None,
+    inline_budget: int | None = None,
+    outer: bool = False,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """decode → bbox → cell cover → EXPLODE, all inside ONE Arrow pass.
+
+    Replaces the with_geo_features + F.explode pair: a relational
+    explode is a generator whose input expression is evaluated
+    separately from the projection, so the pandas UDF ran TWICE per row
+    (ArrowEvalPython at two plan steps). Emitting one output row per
+    cell from inside mapInPandas evaluates the decode exactly once and
+    drops the generator node entirely.
+
+    ``inline_budget``: hybrid WKB shipping — when
+    n_cells * len(wkb) exceeds the budget the WKB column ships NULL
+    (caller re-joins it by id); None ships the WKB on every row.
+    ``outer``: emit one NULL-cell row for empty geometries (explode_outer
+    semantics) so every input id survives.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from brdrq_spark.geom import bbox as _bbox
+    from brdrq_spark.geom import rings_from_wkb
+    from brdrq_spark.grid import cell_cover_bbox
+
+    extra_cols = list(extra_cols or [])
+    in_schema = df.schema
+    fields = [T.StructField(id_col, in_schema[id_col].dataType)]
+    if wkb_out:
+        fields.append(T.StructField(wkb_out, T.BinaryType()))
+    fields += [
+        T.StructField(f"{prefix}_minx", T.DoubleType()),
+        T.StructField(f"{prefix}_miny", T.DoubleType()),
+        T.StructField(f"{prefix}_maxx", T.DoubleType()),
+        T.StructField(f"{prefix}_maxy", T.DoubleType()),
+        T.StructField("cell", T.LongType()),
+    ]
+    for c in extra_cols:
+        fields.append(in_schema[c])
+    schema = T.StructType(fields)
+    names = [f.name for f in fields]
+
+    def gen(batches):
+        for pdf in batches:
+            out: dict[str, list] = {n: [] for n in names}
+            for r in pdf.itertuples(index=False):
+                wkb = r.geom_wkb
+                rings = rings_from_wkb(wkb) if wkb is not None else []
+                if not rings:
+                    if outer:
+                        out[id_col].append(getattr(r, id_col))
+                        if wkb_out:
+                            out[wkb_out].append(wkb)
+                        for k in (f"{prefix}_minx", f"{prefix}_miny",
+                                  f"{prefix}_maxx", f"{prefix}_maxy"):
+                            out[k].append(None)
+                        out["cell"].append(None)
+                        for c in extra_cols:
+                            out[c].append(getattr(r, c))
+                    continue
+                mnx, mny, mxx, mxy = _bbox(rings)
+                cells = cell_cover_bbox(mnx, mny, mxx, mxy, res, dilate)
+                n = len(cells)
+                ship = wkb
+                if (
+                    inline_budget is not None
+                    and wkb is not None
+                    and n * len(wkb) > inline_budget
+                ):
+                    ship = None
+                out[id_col].extend([getattr(r, id_col)] * n)
+                if wkb_out:
+                    out[wkb_out].extend([ship] * n)
+                out[f"{prefix}_minx"].extend([mnx] * n)
+                out[f"{prefix}_miny"].extend([mny] * n)
+                out[f"{prefix}_maxx"].extend([mxx] * n)
+                out[f"{prefix}_maxy"].extend([mxy] * n)
+                out["cell"].extend(cells.tolist())
+                for c in extra_cols:
+                    out[c].extend([getattr(r, c)] * n)
+            yield pd.DataFrame(out, columns=names)
+
+    cols = [id_col, "geom_wkb", *extra_cols]
+    return df.select(*cols).mapInPandas(gen, schema=schema)
 
 
 def with_geo_features(
@@ -146,35 +253,15 @@ def candidate_pairs(
     # side arrives as a handful of parquet-file partitions and serializes
     # the pass (a single 4k-parcel file would otherwise run on one core)
     par = theme_df.sparkSession.sparkContext.defaultParallelism
-    if theme_df.rdd.getNumPartitions() < par:
+    if plan_partitions(theme_df) < par:
         theme_df = theme_df.repartition(par)
-    if ref_df.rdd.getNumPartitions() < par:
+    if plan_partitions(ref_df) < par:
         ref_df = ref_df.repartition(par)
 
-    t = (
-        with_geo_features(
-            theme_df.select(theme_id, "geom_wkb"), "geom_wkb", res, dilate
-        )
-        .select(
-            theme_id,
-            F.col("minx").alias("t_minx"),
-            F.col("miny").alias("t_miny"),
-            F.col("maxx").alias("t_maxx"),
-            F.col("maxy").alias("t_maxy"),
-            F.explode("cells").alias("cell"),
-        )
+    t = cells_exploded(
+        theme_df.select(theme_id, "geom_wkb"), theme_id, res, dilate, "t"
     )
-    r = (
-        with_geo_features(ref_df.select(ref_id, "geom_wkb"), "geom_wkb", res, 0.0)
-        .select(
-            ref_id,
-            F.col("minx").alias("r_minx"),
-            F.col("miny").alias("r_miny"),
-            F.col("maxx").alias("r_maxx"),
-            F.col("maxy").alias("r_maxy"),
-            F.explode("cells").alias("cell"),
-        )
-    )
+    r = cells_exploded(ref_df.select(ref_id, "geom_wkb"), ref_id, res, 0.0, "r")
     if hot_cell_threshold is not None and not broadcast_ref:
         t, r = split_hot_cells(
             t, r, res, dilate, hot_cell_threshold, hot_split

@@ -198,7 +198,8 @@ def align_network(
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         theme_id = pdf["theme_id"].iloc[0]
-        rings = rings_from_wkb(pdf["theme_wkb"].iloc[0])
+        _tw = pdf["theme_wkb"].dropna()
+        rings = rings_from_wkb(_tw.iloc[0]) if len(_tw) else []
         ref_wkbs = list(
             dict.fromkeys(bytes(b) for b in pdf["ref_wkb"] if b is not None)
         )

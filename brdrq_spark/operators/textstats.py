@@ -95,3 +95,49 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         F.array_max(hashes).alias("fp_max"),
         F.size(F.array_distinct(hashes)).cast("long").alias("fp_distinct"),
     )
+
+
+# Reference search tuning (brdrq_dockwidget_featurealigner.py:168-187):
+# field-name matching is case-insensitive and partial; matched fields are
+# prioritized, then remaining fields fill up to the cap
+SEARCH_FIELD_KEYWORDS = [
+    "nr", "num", "id", "dos", "file", "key", "opm", "rem",
+    "naam", "name", "code", "ref", "stat", "brdr", "feat",
+]
+SEARCH_MAX_FIELDS = 15
+
+
+def select_search_fields(
+    columns: list[str],
+    keywords: list[str] | None = None,
+    max_fields: int = SEARCH_MAX_FIELDS,
+) -> list[str]:
+    """P9 field prioritization (reference
+    brdrq_dockwidget_featurealigner.py:505-529): columns whose name
+    contains a keyword (case-insensitive substring) come first in table
+    order, the rest follow, capped at ``max_fields``. Pure driver-side
+    metadata work — no data motion."""
+    kws = [k.strip().lower() for k in (keywords or SEARCH_FIELD_KEYWORDS) if k.strip()]
+    matched = [c for c in columns if any(k in c.lower() for k in kws)]
+    remaining = [c for c in columns if c not in matched]
+    selected = matched + remaining
+    return selected[:max_fields] if max_fields and max_fields > 0 else selected
+
+
+def prioritized_text_search(
+    df: DataFrame,
+    needle: str,
+    keywords: list[str] | None = None,
+    max_fields: int = SEARCH_MAX_FIELDS,
+) -> DataFrame:
+    """P9 attribute search (reference _feature_matches_filter,
+    brdrq_dockwidget_featurealigner.py:479-503): a row matches when the
+    lowercase needle is a substring of any selected field's string
+    value. The OR-chain of contains() stays entirely in whole-stage
+    codegen — one scan, no UDF; at scale Catalyst prunes unselected
+    columns out of the parquet read."""
+    needle = needle.lower()
+    cond = F.lit(False)
+    for c in select_search_fields(df.columns, keywords, max_fields):
+        cond = cond | F.lower(F.col(c).cast("string")).contains(needle)
+    return df.filter(cond)

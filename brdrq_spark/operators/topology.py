@@ -248,12 +248,16 @@ def align_topology(
         "cell", F.explode(cells_udf("ax", "ay", "bx", "by"))
     ).select("ekey", "ax", "ay", "bx", "by", "cell")
 
-    from brdrq_spark.operators.candidates import with_geo_features
+    from brdrq_spark.operators.candidates import cells_exploded
 
-    refs_c = (
-        with_geo_features(ref_df.select("geom_wkb"), res=res)
-        .select(F.col("geom_wkb").alias("ref_wkb"), F.explode("cells").alias("cell"))
-    )
+    refs_c = cells_exploded(
+        ref_df.select(F.col("ref_id"), "geom_wkb"),
+        "ref_id",
+        res,
+        0.0,
+        "r",
+        wkb_out="ref_wkb",
+    ).select("ref_wkb", "cell")
     if broadcast_ref:
         refs_c = F.broadcast(refs_c)
     grouped = edges_c.join(refs_c, "cell").select(

@@ -185,3 +185,43 @@ def test_degenerate_inputs():
     # zero-area ring vanishes
     flat = [np.array([[0, 0], [10, 0], [5, 0]], float)]
     assert normalize(flat) == []
+
+
+def test_stitch_vec_matches_small_path():
+    """The vectorized large-table event extraction and the dict-based
+    small path produce identical ring sets (same canonical multiset of
+    vertices) on a union big enough to trigger the numpy path."""
+    import numpy as np
+
+    from brdrq_spark.geom.clip import (
+        _stitch_events_small,
+        _stitch_events_vec,
+        _weld_and_chain,
+        _trap_table,
+        _traps_from_table,
+        _INV_SNAP,
+    )
+
+    rng = np.random.default_rng(5)
+    rects = []
+    for i in range(60):  # overlapping grid of rectangles -> big trap table
+        x0 = float(rng.integers(0, 40))
+        y0 = float(rng.integers(0, 40))
+        w = float(rng.integers(2, 9))
+        h = float(rng.integers(2, 9))
+        rects.append(
+            np.array([[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h]])
+        )
+    tbl = _trap_table(rects, [])
+    traps = _traps_from_table(tbl, "union")
+    K = np.round(np.asarray(traps, dtype=np.float64) * _INV_SNAP).astype(np.int64)
+    assert len(K) >= 96  # ensure the vec path is the live one
+
+    def canon(rings):
+        return sorted(
+            tuple(sorted(map(tuple, np.round(r, 6)))) for r in rings
+        )
+
+    a = canon(_weld_and_chain(_stitch_events_small(K)))
+    b = canon(_weld_and_chain(_stitch_events_vec(K)))
+    assert a == b and len(a) >= 1

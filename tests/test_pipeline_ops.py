@@ -332,3 +332,33 @@ def test_ann_bucket_cap_deterministic(spark):
     ).collect()
     # corpus capped at ids 0..9; query id 0 excluded from its own matches
     assert sorted(r.c_id for r in out) == list(range(1, 10))
+
+
+def test_p9_prioritized_field_cap(spark):
+    """Keyword-matched fields rank first; the cap drops trailing
+    unmatched fields, so a needle present only there does not match
+    (reference brdrq_dockwidget_featurealigner.py:505-529)."""
+    import pandas as pd
+
+    from brdrq_spark.operators.textstats import (
+        prioritized_text_search,
+        select_search_fields,
+    )
+
+    cols = [f"c{i}" for i in range(14)] + ["my_key", "status_x", "tail_a", "tail_b"]
+    sel = select_search_fields(cols)
+    assert sel[0] == "my_key" and sel[1] == "status_x"  # matched first
+    assert len(sel) == 15 and "tail_b" not in sel
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {**{f"c{i}": "" for i in range(14)},
+                 "my_key": "needle-here", "status_x": "", "tail_a": "", "tail_b": ""},
+                {**{f"c{i}": "" for i in range(14)},
+                 "my_key": "", "status_x": "", "tail_a": "", "tail_b": "needle-here"},
+            ]
+        )[cols]
+    )
+    got = prioritized_text_search(df, "NEEDLE").collect()
+    assert len(got) == 1 and got[0].my_key == "needle-here"
