@@ -887,9 +887,43 @@ def q_minhash_lsh(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
+    """SimHash ORACLE-CHECKED by planted invariants: byte-identical
+    copies (id+10000) hash identically (dup_sig_equal always true) and
+    each text-distinct base doc differs from its id-order neighbor
+    (neighbor_differs always true — 64-bit signatures of distinct docs;
+    verified stable on this deterministic corpus)."""
+    from pyspark.sql import Window
+
     from brdrq_spark.operators.dedup import simhash
 
-    return simhash(_doc(spark, sf_dir))
+    docs = _doc(spark, sf_dir)
+    base = (
+        docs.where("doc_id < 40")
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "text")
+    )
+    corpus = base.unionByName(
+        base.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    )
+    sigs = simhash(corpus)
+    orig = sigs.where("doc_id < 10000")
+    copy = sigs.where("doc_id >= 10000").select(
+        (F.col("doc_id") - 10000).alias("doc_id"), F.col("simhash").alias("sig_copy")
+    )
+    w = Window.orderBy("doc_id")
+    return (
+        orig.join(copy, "doc_id")
+        .withColumn(
+            "neighbor_differs",
+            F.coalesce(F.col("simhash") != F.lag("simhash").over(w), F.lit(True)),
+        )
+        .select(
+            "doc_id",
+            (F.col("simhash") == F.col("sig_copy")).alias("dup_sig_equal"),
+            "neighbor_differs",
+        )
+    )
 
 
 def q_knn_bucketed(spark, sf_dir):
@@ -1790,6 +1824,11 @@ def oracle_sql() -> dict[str, str]:
           FROM embeddings e,
                (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
           WHERE e.vec_id != 0 AND e.vec_id < 50
+        """,
+        "simhash_signatures": """
+          SELECT a AS doc_id, true AS dup_sig_equal, true AS neighbor_differs
+          FROM (SELECT min(doc_id) AS a FROM documents
+                WHERE doc_id < 40 GROUP BY text) t
         """,
         "image_invariants": """
           SELECT 'img_0008_' || lpad(i::VARCHAR, 6, '0') AS image_id,

@@ -202,3 +202,29 @@ def _any_cross(ea: np.ndarray, eb: np.ndarray) -> bool:
     d3 = orient(bx0, by0, bx1, by1, ax0, ay0)
     d4 = orient(bx0, by0, bx1, by1, ax1, ay1)
     return bool(((d1 * d2 < 0) & (d3 * d4 < 0)).any())
+
+
+def split_parts(rings: list[np.ndarray]) -> list[list[np.ndarray]]:
+    """Decompose a (Multi)Polygon ring set into its polygon parts: each
+    outer ring (positive area) grouped with the holes (negative area)
+    it contains. Hole membership tests the hole's vertex centroid
+    against each outer (nonzero winding). Single-part inputs return
+    [rings] unchanged — the multi_as_single_modus=True path (reference
+    brdrq_algorithm_autocorrectborders.py:192) aligns each part
+    independently and recombines."""
+    outers = [r for r in rings if ring_area(r) > 0]
+    if len(outers) <= 1:
+        return [list(rings)]
+    holes = [r for r in rings if ring_area(r) <= 0]
+    parts: list[list[np.ndarray]] = [[o] for o in outers]
+    for h in holes:
+        c = np.asarray(h, dtype=np.float64).mean(axis=0)
+        placed = False
+        for i, o in enumerate(outers):
+            if bool(point_in_rings(c[None, :], [o])[0]):
+                parts[i].append(h)
+                placed = True
+                break
+        if not placed:
+            parts[0].append(h)
+    return parts

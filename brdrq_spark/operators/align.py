@@ -115,6 +115,20 @@ class AlignConfig:
     # bounds shuffle amplification for huge/detailed geometries instead
     # of duplicating a 100 KB polygon into 1000 cell rows.
     max_inline_wkb_bytes: int = 1 << 18
+    # multi_as_single_modus (reference default True,
+    # brdrq_algorithm_autocorrectborders.py:192 via
+    # brdrq_algorithm_common.py:97): True aligns each polygon part of a
+    # MultiPolygon independently (per-part relevance decisions) and
+    # recombines; False treats the whole multipolygon as one unit.
+    multi_as_single_modus: bool = True
+    # partial_snapping (reference ProcessorConfig,
+    # brdrq_dockwidget_featurealigner.py:1518-1522; strategy default
+    # PREFER_VERTICES, brdrq_settings.py:178): when True, the PARTIAL
+    # branch's grown piece additionally snaps its boundary vertices onto
+    # the candidate reference boundaries within rd.
+    partial_snapping: bool = False
+    partial_snap_strategy: str = "PREFER_VERTICES"
+    partial_snap_max_segment_length: float = 2.0
 
 
 ALIGN_SCHEMA = T.StructType(
@@ -253,6 +267,19 @@ def _align_one(theme_rings, ref_ring_sets, rd: float, cfg: AlignConfig, pre=None
             continue
         core = open_rings(inter, half, cfg.nseg)
         grown = boolean_op(refs, buffer_rings(core, rd, cfg.nseg), "intersection")
+        if cfg.partial_snapping and grown:
+            # snap the partial piece's boundary onto the parcel edges
+            # (reference partial_snapping + partial_snap_strategy,
+            # brdrq_dockwidget_featurealigner.py:1518-1522)
+            from brdrq_spark.operators.network import snap_polygon_rings
+
+            grown, _nv, _ns, _mv = snap_polygon_rings(
+                grown,
+                [refs],
+                rd,
+                cfg.partial_snap_max_segment_length,
+                cfg.partial_snap_strategy,
+            )
         kept.extend(grown)
         rel_inter.extend(core)
         rel_diff.extend(boolean_op(inter, grown, "difference"))
@@ -264,6 +291,24 @@ def _align_one(theme_rings, ref_ring_sets, rd: float, cfg: AlignConfig, pre=None
         "rel_diff": rel_diff,
         "decision_key": tuple(decisions),
     }
+
+
+def _align_parts(theme_parts, ref_ring_sets, rd: float, cfg: AlignConfig, pres):
+    """multi_as_single_modus=True: every polygon part of a MultiPolygon
+    theme runs the relevance decisions independently (reference default,
+    brdrq_algorithm_autocorrectborders.py:192); kept/relevant pieces
+    merge before the shared finalize+union. Single-part themes take the
+    plain path unchanged."""
+    if len(theme_parts) == 1:
+        return _align_one(theme_parts[0], ref_ring_sets, rd, cfg, pre=pres[0])
+    merged = {"kept": [], "rel_inter": [], "rel_diff": [], "decision_key": ()}
+    for part, pre in zip(theme_parts, pres):
+        r = _align_one(part, ref_ring_sets, rd, cfg, pre=pre)
+        merged["kept"].extend(r["kept"])
+        merged["rel_inter"].extend(r["rel_inter"])
+        merged["rel_diff"].extend(r["rel_diff"])
+        merged["decision_key"] += (r["decision_key"],)
+    return merged
 
 
 def _snap_od(od_rings, all_ref_rings, theme_rings, rd: float, cfg: AlignConfig):
@@ -403,12 +448,23 @@ def _make_kernel(cfg: AlignConfig, res: int):
 
         t_area = rings_area(theme_rings)
         t_perim = rings_perimeter(theme_rings)
+        # multi_as_single_modus: decompose MultiPolygon themes into parts
+        # so each runs its own relevance decisions (no-op for the common
+        # single-part theme)
+        from brdrq_spark.geom.core import split_parts
+
+        theme_parts = (
+            split_parts(theme_rings) if cfg.multi_as_single_modus else [theme_rings]
+        )
         # hoisted across the rd grid: intersections, uncovered parts,
         # and (for sweeps) the per-piece inradii driving branch decisions
-        pre = _precompute_pairs(
-            theme_rings, ref_ring_sets, cfg,
-            with_inradius=len(cfg.relevant_distances) > 2,
-        )
+        pres = [
+            _precompute_pairs(
+                p, ref_ring_sets, cfg,
+                with_inradius=len(cfg.relevant_distances) > 2,
+            )
+            for p in theme_parts
+        ]
 
         # OD remainder is rd-independent: compute once per theme
         all_ref_rings = [r for refs in ref_ring_sets for r in refs]
@@ -427,9 +483,28 @@ def _make_kernel(cfg: AlignConfig, res: int):
             and bool(od_part)
             and bool(all_ref_rings)
         )
+        multi = len(theme_parts) > 1
         for rd in cfg.relevant_distances:
-            parts = _align_one(theme_rings, ref_ring_sets, rd, cfg, pre=pre)
+            parts = _align_parts(theme_parts, ref_ring_sets, rd, cfg, pres)
             key = parts["decision_key"]
+            # per-ref view of the decisions: with a multi-part theme the
+            # key is a tuple of per-part tuples — a ref counts as adopted
+            # whole when ANY part adopted it whole
+            if multi:
+                flat = []
+                for i in range(len(ref_ring_sets)):
+                    ds = [pk[i] for pk in key]
+                    if "full" in ds:
+                        flat.append("full")
+                    elif "sliver_in" in ds:
+                        flat.append("sliver_in")
+                    elif any(isinstance(d, tuple) for d in ds):
+                        flat.append(next(d for d in ds if isinstance(d, tuple)))
+                    else:
+                        flat.append("skip")
+                flat = tuple(flat)
+            else:
+                flat = key
             if key in cache:
                 # identical branch decisions, no rd-dependent branch =>
                 # identical geometry; reuse the computed row wholesale
@@ -441,7 +516,7 @@ def _make_kernel(cfg: AlignConfig, res: int):
             if cfg.emit_metadata and has_ids:
                 used = [
                     ref_infos[i]
-                    for i, d in enumerate(key)
+                    for i, d in enumerate(flat)
                     if d in ("full", "sliver_in") or isinstance(d, tuple)
                 ]
                 md = json.dumps(
@@ -489,7 +564,7 @@ def _make_kernel(cfg: AlignConfig, res: int):
             # result area — shoelace sums only, no extra boolean op
             full_ref_area = sum(
                 rings_area(ref_ring_sets[i])
-                for i, d in enumerate(key)
+                for i, d in enumerate(flat)
                 if d in ("full", "sliver_in")
             )
             mnx, mny, mxx, mxy = bbox(result) if result else (0.0, 0.0, -1.0, -1.0)
@@ -528,7 +603,9 @@ def _make_kernel(cfg: AlignConfig, res: int):
                     "brdr_metadata": md,
                 }
             )
-            if not any(isinstance(d, tuple) for d in key) and not od_snaps:
+            if (
+                not any(isinstance(d, tuple) for d in flat) and not od_snaps
+            ):
                 cache[key] = row  # no rd-dependent branch: reusable
             out.append(row)
         return pd.DataFrame(out)

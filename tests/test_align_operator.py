@@ -195,3 +195,75 @@ def test_align_hybrid_wkb_shipping_same_output(spark, tables):
         ).collect()
     }
     assert base == forced and len(base) == N_THEMES
+
+
+def test_multi_as_single_modus_parts(spark):
+    """A MultiPolygon theme with two parts over two separate parcels
+    snaps BOTH parts to their parcels under multi_as_single_modus=True
+    (per-part relevance decisions, reference default)."""
+    import numpy as np
+    import pandas as pd
+
+    from brdrq_spark.geom import rings_from_wkb, rings_to_wkb, rings_area
+    from brdrq_spark.operators.align import AlignConfig, align
+
+    def ring(x0):
+        return np.array([[x0, 0.0], [x0 + 10.0, 0.0], [x0 + 10.0, 10.0], [x0, 10.0]])
+
+    # two-part theme: each part shifted 0.3 east of its parcel
+    th = spark.createDataFrame(
+        pd.DataFrame(
+            [{"theme_id": "m", "geom_wkb": rings_to_wkb([ring(0.3), ring(30.3)])}]
+        )
+    )
+    ref = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"ref_id": "r0", "geom_wkb": rings_to_wkb([ring(0.0)])},
+                {"ref_id": "r1", "geom_wkb": rings_to_wkb([ring(30.0)])},
+            ]
+        )
+    )
+    for modus in (True, False):
+        cfg = AlignConfig(
+            relevant_distances=[2.0], od_strategy="EXCLUDE",
+            multi_as_single_modus=modus,
+        )
+        out = align(spark, th, ref, cfg, broadcast_ref=True).collect()
+        assert len(out) == 1
+        # both parts fully snap (uncovered strips erode at rd=2): area 200
+        assert abs(out[0].brdr_area - 200.0) < 1e-6, modus
+        assert out[0].brdr_nr_references == 2
+
+
+def test_partial_snapping_knob(spark):
+    """partial_snapping=True snaps the partial branch's grown boundary
+    onto parcel edges: a theme covering half a parcel at small rd grows
+    by rd, and with snapping its west edge lands exactly on the parcel
+    border."""
+    import numpy as np
+    import pandas as pd
+
+    from brdrq_spark.geom import bbox, rings_from_wkb, rings_to_wkb
+    from brdrq_spark.operators.align import AlignConfig, align
+
+    parcel = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]])
+    half = np.array([[0.4, 0.0], [5.0, 0.0], [5.0, 10.0], [0.4, 10.0]])
+    th = spark.createDataFrame(
+        pd.DataFrame([{"theme_id": "t", "geom_wkb": rings_to_wkb([half])}])
+    )
+    ref = spark.createDataFrame(
+        pd.DataFrame([{"ref_id": "r", "geom_wkb": rings_to_wkb([parcel])}])
+    )
+    res = {}
+    for snap in (False, True):
+        cfg = AlignConfig(
+            relevant_distances=[0.3], od_strategy="EXCLUDE",
+            partial_snapping=snap,
+        )
+        out = align(spark, th, ref, cfg, broadcast_ref=True).collect()[0]
+        res[snap] = bbox(rings_from_wkb(out.result_wkb))[0]  # minx
+    # without snapping the grown west edge stays at 0.4-rd=0.1; with
+    # snapping it lands on the parcel border x=0
+    assert res[False] > 0.05
+    assert abs(res[True] - 0.0) < 1e-9
