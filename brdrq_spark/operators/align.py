@@ -129,6 +129,13 @@ class AlignConfig:
     partial_snapping: bool = False
     partial_snap_strategy: str = "PREFER_VERTICES"
     partial_snap_max_segment_length: float = 2.0
+    # calculation CRS (reference default EPSG:31370, updated from the
+    # thematic layer — brdrq_algorithm_autocorrectborders.py:194). The
+    # engine computes in ONE projected meter CRS; align() hard-errors on
+    # an undefined crs or a ref_crs mismatch exactly like the reference
+    # (brdrq_utils.py:1498-1502, 1551-1555 — functions/crs.py).
+    crs: str = "EPSG:31370"
+    ref_crs: str | None = None  # None = same as crs
 
 
 ALIGN_SCHEMA = T.StructType(
@@ -725,6 +732,11 @@ def align(
     ProcessResult geometry slots + metric columns (FIXTURES.md §4).
     """
     cfg = config or AlignConfig()
+    # CRS guard: one defined meter CRS for both layers (reference
+    # brdrq_utils.py:1498-1502, 1551-1555)
+    from brdrq_spark.functions.crs import require_same_crs
+
+    require_same_crs(cfg.crs, cfg.ref_crs if cfg.ref_crs is not None else cfg.crs)
     grouped, res = align_candidate_rows(spark, theme_df, ref_df, cfg, broadcast_ref)
 
     # partition-streaming kernel: co-locate each theme's candidate rows,

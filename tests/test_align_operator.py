@@ -267,3 +267,38 @@ def test_partial_snapping_knob(spark):
     # snapping it lands on the parcel border x=0
     assert res[False] > 0.05
     assert abs(res[True] - 0.0) < 1e-9
+
+
+def test_crs_guards(spark):
+    """align() mirrors the reference's CRS hard errors
+    (brdrq_utils.py:1498-1502, 1551-1555); G5 bbox margin matches
+    zoom_to_features' +10% extent expansion."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from brdrq_spark.functions.crs import bbox_with_margin, require_same_crs
+    from brdrq_spark.geom import rings_to_wkb
+    from brdrq_spark.operators.align import AlignConfig, align
+
+    sq = rings_to_wkb(
+        [np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]])]
+    )
+    th = spark.createDataFrame(pd.DataFrame([{"theme_id": "t", "geom_wkb": sq}]))
+    ref = spark.createDataFrame(pd.DataFrame([{"ref_id": "r", "geom_wkb": sq}]))
+    with pytest.raises(ValueError, match="different CRS"):
+        align(spark, th, ref, AlignConfig(ref_crs="EPSG:3812"), broadcast_ref=True)
+    with pytest.raises(ValueError, match="defined CRS"):
+        align(spark, th, ref, AlignConfig(crs=""), broadcast_ref=True)
+    assert require_same_crs("EPSG:31370", "EPSG:31370") == "EPSG:31370"
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"minx": 0.0, "miny": 0.0, "maxx": 10.0, "maxy": 20.0},
+                {"minx": 5.0, "miny": -10.0, "maxx": 30.0, "maxy": 5.0},
+            ]
+        )
+    )
+    b = bbox_with_margin(df)  # combined (0,-10,30,20) + 10% of (30,30)
+    assert b == (-3.0, -13.0, 33.0, 23.0)
