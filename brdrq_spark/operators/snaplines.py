@@ -31,7 +31,7 @@ from pyspark.sql import types as T
 from brdrq_spark.geom.core import _edges, _seg_point_dist2
 from brdrq_spark.geom.wkb import lines_from_wkb, lines_to_wkb, rings_from_wkb
 from brdrq_spark.grid import pick_resolution
-from brdrq_spark.operators.candidates import with_geo_features
+
 
 SNAP_NO_PREFERENCE = "NO_PREFERENCE"
 SNAP_PREFER_VERTICES = "PREFER_VERTICES"
@@ -143,10 +143,12 @@ def align_lines(
     res = pick_resolution(rd)
     dilate = 2.0 * rd * 1.01
 
+    from brdrq_spark.operators.candidates import plan_partitions
+
     par = spark.sparkContext.defaultParallelism
-    if theme_df.rdd.getNumPartitions() < par:
+    if plan_partitions(theme_df) < par:
         theme_df = theme_df.repartition(par)
-    if ref_df.rdd.getNumPartitions() < par:
+    if plan_partitions(ref_df) < par:
         ref_df = ref_df.repartition(par)
 
     # lines have no area; geo_features' bbox/cells work on rings only,
@@ -175,11 +177,12 @@ def align_lines(
         F.col("geom_wkb").alias("theme_wkb"),
         F.explode_outer(line_cells(F.col("geom_wkb"))).alias("cell"),
     )
-    r_cells = with_geo_features(
-        ref_df.select("ref_id", "geom_wkb"), "geom_wkb", res, 0.0
-    ).select(
-        F.col("geom_wkb").alias("ref_wkb"), F.explode("cells").alias("cell")
-    )
+    from brdrq_spark.operators.candidates import cells_exploded
+
+    r_cells = cells_exploded(
+        ref_df.select("ref_id", "geom_wkb"), "ref_id", res, 0.0, "r",
+        wkb_out="ref_wkb",
+    ).select("ref_wkb", "cell")
     if broadcast_ref:
         r_cells = F.broadcast(r_cells)
     grouped = (
