@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from brdrq_spark.grid import pick_resolution
-from brdrq_spark.operators.candidates import with_geo_features
+from brdrq_spark.operators.candidates import cells_exploded
 
 
 def write_cell_indexed(
@@ -36,16 +36,18 @@ def write_cell_indexed(
     (equal bucket counts → zero-exchange join)."""
     if res is None:
         res = pick_resolution(max_rd)
-    cells = with_geo_features(
-        df.select(id_col, geom_col), geom_col, res, dilate
+    # single-pass decode+cover+explode (no generator re-evaluating the UDF)
+    src = df.select(id_col, F.col(geom_col).alias("geom_wkb"))
+    cells = cells_exploded(
+        src, id_col, res, dilate, "b", wkb_out=geom_col
     ).select(
         id_col,
-        F.col(geom_col),
-        "minx",
-        "miny",
-        "maxx",
-        "maxy",
-        F.explode("cells").alias("cell"),
+        geom_col,
+        F.col("b_minx").alias("minx"),
+        F.col("b_miny").alias("miny"),
+        F.col("b_maxx").alias("maxx"),
+        F.col("b_maxy").alias("maxy"),
+        "cell",
     )
     (
         cells.write.mode("overwrite")
