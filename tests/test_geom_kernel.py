@@ -225,3 +225,39 @@ def test_stitch_vec_matches_small_path():
     a = canon(_weld_and_chain(_stitch_events_small(K)))
     b = canon(_weld_and_chain(_stitch_events_vec(K)))
     assert a == b and len(a) >= 1
+
+
+def test_split_parts_groups_holes_with_outers():
+    import numpy as np
+
+    from brdrq_spark.geom.core import ring_area, split_parts
+
+    def rect(x0, y0, w, h, ccw=True):
+        r = np.array(
+            [[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h]], float
+        )
+        return r if ccw else r[::-1]
+
+    # two outers, one hole inside each, one hole inside the SECOND
+    rings = [
+        rect(0, 0, 10, 10),                # outer A
+        rect(20, 0, 10, 10),               # outer B
+        rect(2, 2, 2, 2, ccw=False),       # hole in A
+        rect(22, 2, 2, 2, ccw=False),      # hole in B
+        rect(26, 6, 1, 1, ccw=False),      # second hole in B
+    ]
+    parts = split_parts(rings)
+    assert len(parts) == 2
+    sizes = sorted(len(p) for p in parts)
+    assert sizes == [2, 3]
+    for p in parts:
+        outer = [r for r in p if ring_area(r) > 0]
+        assert len(outer) == 1
+        x0 = outer[0][:, 0].min()
+        for h in p:
+            if ring_area(h) < 0:
+                assert h[:, 0].min() > x0  # hole sits inside its outer
+
+    # single polygon passes through unchanged
+    single = [rect(0, 0, 5, 5), rect(1, 1, 1, 1, ccw=False)]
+    assert split_parts(single) == [single]
