@@ -64,6 +64,7 @@ SNAPPED_SCHEMA = T.StructType(
         T.StructField("xs", T.ArrayType(T.DoubleType())),
         T.StructField("ys", T.ArrayType(T.DoubleType())),
         T.StructField("moved", T.IntegerType()),
+        T.StructField("shared", T.BooleanType()),
     ]
 )
 
@@ -152,6 +153,7 @@ def _make_snap_kernel(rd: float, max_seg: float):
                     "xs": snapped[:, 0].tolist(),
                     "ys": snapped[:, 1].tolist(),
                     "moved": int(moved.sum()),
+                    "shared": bool(pdf["shared"].iloc[0]),
                 }
             ]
         )
@@ -222,10 +224,7 @@ def align_topology(
         F.first("ay").alias("ay"),
         F.first("bx").alias("bx"),
         F.first("by").alias("by"),
-        F.count("*").alias("_mult"),
-    )
-    shared = distinct_edges.select(
-        "ekey", (F.col("_mult") > 1).alias("shared")
+        (F.count("*") > 1).alias("shared"),
     )
 
     # edge-level candidate join, same shape as align's fused plan: cells
@@ -246,7 +245,7 @@ def align_topology(
     cells_udf = F.pandas_udf(_cells, "array<long>")
     edges_c = distinct_edges.withColumn(
         "cell", F.explode(cells_udf("ax", "ay", "bx", "by"))
-    ).select("ekey", "ax", "ay", "bx", "by", "cell")
+    ).select("ekey", "ax", "ay", "bx", "by", "shared", "cell")
 
     from brdrq_spark.operators.candidates import cells_exploded
 
@@ -260,8 +259,10 @@ def align_topology(
     ).select("ref_wkb", "cell")
     if broadcast_ref:
         refs_c = F.broadcast(refs_c)
+    # the shared flag rides through the snap kernel — no separate
+    # ekey join to recover it at reassembly time
     grouped = edges_c.join(refs_c, "cell").select(
-        "ekey", "ax", "ay", "bx", "by", "ref_wkb"
+        "ekey", "ax", "ay", "bx", "by", "shared", "ref_wkb"
     )
 
     snap = _make_snap_kernel(rd, snap_max_segment_length)
@@ -289,11 +290,13 @@ def align_topology(
         .mapInPandas(stream, schema=SNAPPED_SCHEMA)
     )
 
-    joined = (
-        membership.join(snapped, "ekey", "left")  # left: candidate-less
-        .join(shared, "ekey")  # edges keep their identity polyline
-        .repartition(par * 4, "theme_id")
+    # left join: candidate-less edges keep their identity polyline and
+    # count as unshared-unknown -> coalesce on the membership-side count
+    joined = membership.join(snapped, "ekey", "left").withColumn(
+        "shared", F.coalesce(F.col("shared"), F.lit(False))
     )
+    # groupBy().applyInPandas hash-partitions by theme_id itself — no
+    # explicit repartition needed
     return joined.groupBy("theme_id").applyInPandas(
         _reassemble(rd), schema=TOPOLOGY_SCHEMA
     )
