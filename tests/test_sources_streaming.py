@@ -208,3 +208,70 @@ def test_stateful_streaming_sessionize_matches_batch(spark, tmp_path):
     }
     q.stop()
     assert got == {(1, 3), (1, 2), (2, 3)}
+
+
+def test_stateful_streaming_checkpoint_restart(spark, tmp_path):
+    """North-rule resumability at the STREAMING layer: the sessionize
+    query stops mid-stream and restarts from its checkpoint; a session
+    whose events straddle the restart boundary still emerges as ONE
+    session (open-session state recovered from the state store), and
+    no closed session duplicates."""
+    import pandas as pd
+
+    from brdrq_spark.streaming.sessions import sessionize_stream
+
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    src = tmp_path / "ev"
+    sink = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        pd.DataFrame(rows).to_parquet(
+            src / f"{name}.parquet", index=False, coerce_timestamps="us"
+        )
+
+    def ev(u, sec):
+        return {"ts": base + pd.Timedelta(seconds=sec), "user_id": u}
+
+    # first run: user 1 session is OPEN at shutdown (events 0..200)
+    write_batch("a", [ev(1, 0), ev(1, 100), ev(1, 200), ev(2, 50)])
+    schema = spark.read.parquet(str(src)).schema
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        out = sessionize_stream(stream, gap_seconds=600, watermark="0 seconds")
+        return (
+            out.writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    # second run: the straddling event (300) extends the recovered open
+    # session; 1000 starts a new one; user 2's 400 extends its recovered
+    # session (events behind the recovered watermark would be dropped as
+    # late — by design); the sentinel flushes everything
+    write_batch("b", [ev(1, 300), ev(1, 1000), ev(2, 400)])
+    write_batch("z", [{"ts": base + pd.Timedelta(days=2), "user_id": 999}])
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(
+        (r.user_id, r.n_events)
+        for r in spark.read.parquet(str(sink)).collect()
+        if r.user_id != 999
+    )
+    # user 1: ONE 4-event session across the restart + a 1-event session;
+    # user 2: one 2-event session — no duplicates, no split sessions
+    assert got == [(1, 1), (1, 4), (2, 2)]
