@@ -94,6 +94,10 @@ def bbox_with_margin(
         F.max(mxx).alias("c"),
         F.max(mxy).alias("d"),
     ).collect()[0]
+    if row.a is None:
+        raise ValueError(
+            "bbox_with_margin: empty layer — no features to combine"
+        )
     w = row.c - row.a
     h = row.d - row.b
     out = (

@@ -262,8 +262,6 @@ def _stitch(traps) -> list[np.ndarray]:
     updates. Stages 2-3 (junction weld + ring chaining) stay in Python —
     they see only the surviving boundary segments, which is orders of
     magnitude smaller than the trapezoid count."""
-    from collections import defaultdict
-
     traps = np.asarray(traps, dtype=np.float64)
     if traps.size == 0:
         return []

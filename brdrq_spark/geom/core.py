@@ -218,13 +218,12 @@ def split_parts(rings: list[np.ndarray]) -> list[list[np.ndarray]]:
     holes = [r for r in rings if ring_area(r) <= 0]
     parts: list[list[np.ndarray]] = [[o] for o in outers]
     for h in holes:
-        c = np.asarray(h, dtype=np.float64).mean(axis=0)
-        placed = False
-        for i, o in enumerate(outers):
-            if bool(point_in_rings(c[None, :], [o])[0]):
-                parts[i].append(h)
-                placed = True
-                break
-        if not placed:
-            parts[0].append(h)
+        # vertex MAJORITY vote, not the vertex centroid: a concave
+        # (U/L-shaped) hole's centroid can fall outside its enclosing
+        # outer, but every vertex of a valid hole lies inside-or-on it —
+        # the outer containing the most hole vertices wins
+        hv = np.asarray(h, dtype=np.float64)
+        votes = [int(point_in_rings(hv, [o]).sum()) for o in outers]
+        best = int(np.argmax(votes))
+        parts[best].append(h)
     return parts

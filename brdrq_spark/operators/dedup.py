@@ -225,8 +225,10 @@ def embedding_near_dup(
     random-hyperplane signatures (2^n_bits near-uniform buckets — NOT
     the leading raw dimensions, whose correlation skews buckets at real
     embedding distributions), flip-1-bit multi-probe on one side of the
-    self-join, and a deterministic per-bucket cap so no single bucket's
-    pair space exceeds max_bucket_size² regardless of corpus size.
+    self-join, and a deterministic per-home-bucket cap on the BASE set
+    (both join sides descend from it) so a degenerate bucket's pair
+    space is bounded by max_bucket_size² x (1 + n_bits) regardless of
+    corpus size or skew.
     Exact duplicates share a signature, so planted-duplicate recall is
     1.0 even single-probe.
     """
@@ -241,19 +243,24 @@ def embedding_near_dup(
         norm.alias("nrm"),
         rh_signature(F.col(vec_col), n_bits, dim, seed).alias("_sig"),
     )
+    # cap the BASE per home bucket (one window, before either side is
+    # derived): both the probe side's explode and the build side descend
+    # from the capped set, so a degenerate bucket's pair space is bounded
+    # by max_bucket_size² x (1 + n_bits) regardless of corpus skew —
+    # capping only the build side would still let N probe rows join it
+    if max_bucket_size and max_bucket_size > 0:
+        wcap = Window.partitionBy("_sig").orderBy(id_col)
+        base = (
+            base.withColumn("_rn", F.row_number().over(wcap))
+            .where(F.col("_rn") <= max_bucket_size)
+            .drop("_rn")
+        )
     b = base.select(
         F.col(id_col).alias("b"),
         F.col(vec_col).alias("vb"),
         F.col("nrm").alias("nb"),
         F.col("_sig").alias("bucket"),
     )
-    if max_bucket_size and max_bucket_size > 0:
-        wcap = Window.partitionBy("bucket").orderBy("b")
-        b = (
-            b.withColumn("_rn", F.row_number().over(wcap))
-            .where(F.col("_rn") <= max_bucket_size)
-            .drop("_rn")
-        )
     a = base.select(
         F.col(id_col).alias("a"),
         F.col(vec_col).alias("va"),

@@ -215,9 +215,10 @@ def align_topology(
     membership = theme_df.select("theme_id", "geom_wkb").mapInPandas(
         _decompose, schema=EDGE_SCHEMA
     )
-    # cache membership: it feeds both the distinct-edge snap and the
-    # reassembly join
-    membership = membership.persist()
+    # membership feeds both the distinct-edge agg and the reassembly
+    # join; decompose is a cheap stateless pass, so recomputing it twice
+    # beats persist() (which would pin cached blocks for the session —
+    # there is no post-action hook to unpersist a lazily-consumed frame)
 
     distinct_edges = membership.groupBy("ekey").agg(
         F.first("ax").alias("ax"),
@@ -297,6 +298,23 @@ def align_topology(
     )
     # groupBy().applyInPandas hash-partitions by theme_id itself — no
     # explicit repartition needed
-    return joined.groupBy("theme_id").applyInPandas(
+    out = joined.groupBy("theme_id").applyInPandas(
         _reassemble(rd), schema=TOPOLOGY_SCHEMA
     )
+    # one-row-per-theme contract (same as align()): themes whose WKB
+    # decodes to no rings produce no edges — anti-join them back as
+    # explicit empty rows instead of silently vanishing
+    empty_wkb = rings_to_wkb([])
+    missing = theme_df.select("theme_id").join(
+        membership.select("theme_id").distinct(), "theme_id", "left_anti"
+    )
+    bare = missing.select(
+        "theme_id",
+        F.lit(float(rd)).alias("brdr_relevant_distance"),
+        F.lit(bytearray(empty_wkb)).cast("binary").alias("result_wkb"),
+        F.lit(0.0).alias("brdr_area"),
+        F.lit(0).cast("int").alias("n_edges"),
+        F.lit(0).cast("int").alias("n_shared_edges"),
+        F.lit("no_geometry").alias("brdr_remark"),
+    )
+    return out.unionByName(bare)

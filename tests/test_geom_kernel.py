@@ -261,3 +261,32 @@ def test_split_parts_groups_holes_with_outers():
     # single polygon passes through unchanged
     single = [rect(0, 0, 5, 5), rect(1, 1, 1, 1, ccw=False)]
     assert split_parts(single) == [single]
+
+
+def test_split_parts_concave_hole_centroid_outside():
+    """A U-shaped hole whose vertex centroid falls OUTSIDE its outer
+    ring still groups with that outer (vertex majority vote), not with
+    an unrelated part."""
+    import numpy as np
+
+    from brdrq_spark.geom.core import ring_area, split_parts
+
+    # outer U: 30x30 frame with the top-middle notch removed (concave)
+    outer_u = np.array(
+        [[0, 0], [30, 0], [30, 30], [20, 30], [20, 10], [10, 10],
+         [10, 30], [0, 30]], float
+    )
+    # concave hole hugging the U's left arm bottom (its centroid lands
+    # in the notch, outside the outer)
+    hole_u = np.array(
+        [[2, 2], [28, 2], [28, 8], [22, 8], [22, 4], [8, 4],
+         [8, 8], [2, 8]], float
+    )[::-1]
+    square = np.array([[100, 0], [110, 0], [110, 10], [100, 10]], float)
+    parts = split_parts([outer_u, square, hole_u])
+    assert len(parts) == 2
+    for p in parts:
+        net = sum(ring_area(r) for r in p)
+        assert net > 0  # no part carries a foreign hole
+    u_part = next(p for p in parts if len(p) == 2)
+    assert ring_area(u_part[0]) > 0 and ring_area(u_part[1]) < 0

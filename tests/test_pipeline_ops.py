@@ -362,3 +362,32 @@ def test_p9_prioritized_field_cap(spark):
     )
     got = prioritized_text_search(df, "NEEDLE").collect()
     assert len(got) == 1 and got[0].my_key == "needle-here"
+
+
+def test_evaluate_best_strategy_is_argmax(spark, small_tables):
+    """STRATEGY_BEST inside evaluate() keeps exactly the rank-1 row per
+    theme of the ALL sweep (score desc, rd asc)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from brdrq_spark.operators.evaluate import STRATEGY_BEST, evaluate
+
+    th, ref = small_tables
+    sweep = evaluate(spark, th, ref, max_rd=2.0, step=0.5, broadcast_ref=True)
+    best = evaluate(
+        spark, th, ref, max_rd=2.0, step=0.5, broadcast_ref=True,
+        prediction_strategy=STRATEGY_BEST,
+    )
+    w = Window.partitionBy("theme_id").orderBy(
+        F.desc("brdr_prediction_score"), F.asc("brdr_relevant_distance")
+    )
+    expected = {
+        (r.theme_id, r.brdr_relevant_distance, r.brdr_prediction_score)
+        for r in sweep.withColumn("_rk", F.row_number().over(w))
+        .filter("_rk = 1").collect()
+    }
+    got = {
+        (r.theme_id, r.brdr_relevant_distance, r.brdr_prediction_score)
+        for r in best.collect()
+    }
+    assert got == expected and len(got) > 0
