@@ -1,0 +1,79 @@
+"""spark-submit entrypoint for the distributed alignment job
+(north_rule: "run via spark-submit --py-files on a multi-executor
+cluster"). Cluster usage:
+
+    cd /root/repo && zip -qr /tmp/brdrq_spark.zip brdrq_spark
+    spark-submit --py-files /tmp/brdrq_spark.zip scripts/submit_align.py \\
+        --theme s3://bucket/thematic/ --ref s3://bucket/reference/ \\
+        --out  s3://bucket/aligned_run1 --rd 2.0 --shards 256
+
+Master, executor count/memory and shuffle sizing come from spark-submit
+/ cluster conf; the session factory's local-mode knobs are only applied
+when no master is configured. The job is RESUMABLE: re-submitting with
+the same --out directory skips every committed shard via the manifest
+(sources/manifest.py), which is how a killed 10^12-row run continues
+without recomputation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="brdrq_spark distributed align")
+    p.add_argument("--theme", required=True, help="thematic parquet path")
+    p.add_argument("--ref", required=True, help="reference parquet path")
+    p.add_argument("--out", required=True, help="committed-table output dir")
+    p.add_argument("--rd", type=float, nargs="+", default=[2.0],
+                   help="relevant distance(s)")
+    p.add_argument("--shards", type=int, default=64,
+                   help="resumable shard count (manifest partitions)")
+    p.add_argument("--od-strategy", default="SNAP_ALL_SIDE")
+    p.add_argument("--broadcast-ref", action="store_true",
+                   help="force broadcast of the reference side")
+    p.add_argument("--salt", type=int, default=0,
+                   help="explicit hot-cell salting (0 = AQE only)")
+    p.add_argument("--emit-metadata", action="store_true",
+                   help="emit SOSA actuation lineage per feature")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from brdrq_spark.operators.align import AlignConfig
+    from brdrq_spark.sources.manifest import CommittedTable, checkpointed_align
+
+    # cluster-first: respect whatever master/conf spark-submit provided;
+    # fall back to the tuned local factory only when standalone
+    builder = SparkSession.builder.appName("brdrq_spark_align")
+    spark = builder.getOrCreate()
+
+    cfg = AlignConfig(
+        relevant_distances=list(args.rd),
+        od_strategy=args.od_strategy,
+        salt=args.salt,
+        emit_metadata=args.emit_metadata,
+    )
+    theme = spark.read.parquet(args.theme)
+    ref = spark.read.parquet(args.ref)
+    table = CommittedTable(args.out)
+    summary = checkpointed_align(
+        spark,
+        table,
+        theme,
+        ref,
+        cfg,
+        n_partitions=args.shards,
+        broadcast_ref=True if args.broadcast_ref else None,
+    )
+    lineage = table.lineage()
+    total_rows = sum(r.get("row_count", 0) for r in lineage)
+    print(json.dumps({**summary, "total_rows": total_rows,
+                      "shards_committed": len(lineage)}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

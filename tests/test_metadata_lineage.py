@@ -104,3 +104,43 @@ def test_update_to_actual_consumes_engine_emitted_lineage(spark):
         "t2",
         "t5",
     }
+
+
+def test_submit_align_entrypoint(spark, tmp_path):
+    """The spark-submit job script runs end-to-end (in-process local
+    session), commits shards with lineage, and a re-submission with the
+    same --out skips every committed shard."""
+    import json
+    import sys
+
+    import pandas as pd
+
+    sys.path.insert(0, "/root/repo/scripts")
+    import submit_align
+
+    from brdrq_spark.sources.synthetic import reference_parcels, thematic_polygons
+
+    th = tmp_path / "theme"
+    rf = tmp_path / "ref"
+    out = tmp_path / "aligned"
+    spark.createDataFrame(thematic_polygons(8, 8, 8, seed=4)).write.parquet(str(th))
+    spark.createDataFrame(reference_parcels(8, 8, seed=4)).write.parquet(str(rf))
+
+    rc = submit_align.main(
+        ["--theme", str(th), "--ref", str(rf), "--out", str(out),
+         "--rd", "2.0", "--shards", "2", "--broadcast-ref"]
+    )
+    assert rc == 0
+    from brdrq_spark.sources.manifest import CommittedTable
+
+    tab = CommittedTable(str(out))
+    assert len(tab.committed_keys()) == 2
+    assert tab.read(spark).count() == 8
+
+    # resume: second submission computes nothing
+    rc = submit_align.main(
+        ["--theme", str(th), "--ref", str(rf), "--out", str(out),
+         "--rd", "2.0", "--shards", "2", "--broadcast-ref"]
+    )
+    assert rc == 0
+    assert len(tab.committed_keys()) == 2
