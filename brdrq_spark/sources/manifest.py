@@ -121,20 +121,44 @@ def run_partitioned(
     keys: list[str],
     make_df,
     make_lineage=None,
+    max_concurrent: int = 1,
 ) -> dict:
     """Drive a resumable partitioned job: for every uncommitted key,
-    compute ``make_df(key)``, commit with lineage. Returns summary."""
+    compute ``make_df(key)``, commit with lineage. Returns summary.
+
+    ``max_concurrent`` > 1 submits that many shard jobs at once from
+    driver threads (Spark's scheduler interleaves concurrent actions
+    across executors) — fine-grained resumable shards then cost no
+    cluster utilization between shard boundaries. Manifest publication
+    stays serialized behind a lock, so the atomic-snapshot property is
+    unchanged."""
+    import threading
+
     todo = table.resume_filter(keys)
     done = 0
-    for key in todo:
+    publish_lock = threading.Lock()
+
+    def run_one(key: str) -> None:
+        nonlocal done
         df = make_df(key)
         # Plan executes once (the write); lineage + count re-read the
         # small written parquet, not the upstream kernel.
         part_dir = table.write_partition(key, df)
         written = spark.read.parquet(part_dir)
         lin = make_lineage(key, written) if make_lineage else None
-        table.publish_partition(key, written.count(), lin)
-        done += 1
+        n = written.count()
+        with publish_lock:
+            table.publish_partition(key, n, lin)
+            done += 1
+
+    if max_concurrent <= 1:
+        for key in todo:
+            run_one(key)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_concurrent) as ex:
+            list(ex.map(run_one, todo))
     return {
         "requested": len(keys),
         "skipped_committed": len(keys) - len(todo),
@@ -151,6 +175,7 @@ def checkpointed_align(
     n_partitions: int = 4,
     broadcast_ref: bool | None = None,
     shard_col: str | None = None,
+    max_concurrent: int = 1,
 ) -> dict:
     """Resumable distributed alignment (north_rule: "resumable from
     checkpoint with per-partition lineage + metrics"): the thematic
@@ -194,4 +219,7 @@ def checkpointed_align(
             "total_area": row.total_area,
         }
 
-    return run_partitioned(spark, table, keys, make_df, make_lineage)
+    return run_partitioned(
+        spark, table, keys, make_df, make_lineage,
+        max_concurrent=max_concurrent,
+    )

@@ -144,3 +144,32 @@ def test_submit_align_entrypoint(spark, tmp_path):
     )
     assert rc == 0
     assert len(tab.committed_keys()) == 2
+
+
+def test_checkpointed_align_concurrent_shards(spark, tmp_path):
+    """max_concurrent > 1 commits the same shards with the same lineage
+    as the sequential path (manifest publication serialized by lock)."""
+    import pandas as pd
+
+    from brdrq_spark.operators.align import AlignConfig
+    from brdrq_spark.sources.manifest import CommittedTable, checkpointed_align
+    from brdrq_spark.sources.synthetic import reference_parcels, thematic_polygons
+
+    th = spark.createDataFrame(thematic_polygons(12, 8, 8, seed=6))
+    ref = spark.createDataFrame(reference_parcels(8, 8, seed=6))
+    cfg = AlignConfig(relevant_distances=[2.0])
+
+    outs = {}
+    for mode, conc in (("seq", 1), ("par", 3)):
+        tab = CommittedTable(str(tmp_path / mode))
+        s = checkpointed_align(
+            spark, tab, th, ref, cfg, n_partitions=3, broadcast_ref=True,
+            max_concurrent=conc,
+        )
+        assert s["computed"] == 3
+        outs[mode] = {
+            (r["partition"], r["row_count"], r["avg_sym_perc"])
+            for r in tab.lineage()
+        }
+        assert tab.read(spark).count() == 12
+    assert outs["seq"] == outs["par"]
