@@ -38,6 +38,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="explicit hot-cell salting (0 = AQE only)")
     p.add_argument("--emit-metadata", action="store_true",
                    help="emit SOSA actuation lineage per feature")
+    p.add_argument("--concurrent", type=int, default=4,
+                   help="shard jobs submitted at once (driver threads)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -67,6 +69,7 @@ def main(argv: list[str] | None = None) -> int:
         cfg,
         n_partitions=args.shards,
         broadcast_ref=True if args.broadcast_ref else None,
+        max_concurrent=max(args.concurrent, 1),
     )
     lineage = table.lineage()
     total_rows = sum(r.get("row_count", 0) for r in lineage)
