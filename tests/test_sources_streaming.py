@@ -275,3 +275,63 @@ def test_stateful_streaming_checkpoint_restart(spark, tmp_path):
     # user 1: ONE 4-event session across the restart + a 1-event session;
     # user 2: one 2-event session — no duplicates, no split sessions
     assert got == [(1, 1), (1, 4), (2, 2)]
+
+
+def test_write_geojson_guard_single_execution(spark, tmp_path):
+    """The interop sink's row guard triggers without a separate count()
+    pass (limit+collect once)."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from brdrq_spark.geom import rings_to_wkb
+    from brdrq_spark.sources.geojson import write_geojson
+
+    sq = rings_to_wkb([np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])])
+    df = spark.createDataFrame(
+        pd.DataFrame([{"theme_id": f"t{i}", "geom_wkb": sq} for i in range(5)])
+    )
+    with pytest.raises(ValueError, match="interop sink"):
+        write_geojson(df, str(tmp_path / "x.geojson"), max_rows=3)
+    write_geojson(df, str(tmp_path / "ok.geojson"), max_rows=5)
+    assert (tmp_path / "ok.geojson").exists()
+
+
+def test_geom_type_udf_big_endian(spark):
+    """P5 type tags honor the WKB byte-order flag: a big-endian Point
+    tags 'Point', not 'Empty'."""
+    import struct
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from brdrq_spark.functions.geo import geom_type_udf
+
+    be_point = struct.pack(">BIdd", 0, 1, 1.5, 2.5)   # big-endian flag 0
+    le_point = struct.pack("<BIdd", 1, 1, 1.5, 2.5)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [{"id": "be", "geom_wkb": be_point}, {"id": "le", "geom_wkb": le_point}]
+        )
+    )
+    got = {
+        r.id: r.t
+        for r in df.select("id", geom_type_udf(F.col("geom_wkb")).alias("t")).collect()
+    }
+    assert got == {"be": "Point", "le": "Point"}
+
+
+def test_bbox_transform_registry():
+    import pytest
+
+    from brdrq_spark.functions.crs import register_bbox_transform, transform_bbox
+
+    b = (0.0, 0.0, 10.0, 20.0)
+    assert transform_bbox(b, "EPSG:31370", "EPSG:31370") == b
+    with pytest.raises(ValueError, match="no bbox transform"):
+        transform_bbox(b, "EPSG:31370", "EPSG:3812")
+    register_bbox_transform(
+        "EPSG:31370", "EPSG:3812",
+        lambda a, c, d, e: (a + 1.0, c + 1.0, d + 1.0, e + 1.0),
+    )
+    assert transform_bbox(b, "EPSG:31370", "EPSG:3812") == (1.0, 1.0, 11.0, 21.0)
