@@ -30,7 +30,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class CommittedTable:
+    """Manifest + lineage live on a POSIX filesystem shared by every
+    driver that may resume the job (NFS, a fuse-mounted object store,
+    or local disk for single-driver runs). A bare object-store URI
+    would silently create a ghost local directory instead — rejected
+    loudly here; the shard parquet underneath still goes through
+    Spark's writers."""
+
     def __init__(self, path: str):
+        if "://" in str(path):
+            raise ValueError(
+                f"CommittedTable root must be a (shared) POSIX path, got "
+                f"{path!r}: the manifest/lineage JSON is written with "
+                "local file I/O — mount the object store (fuse/NFS) or "
+                "point --out at a shared filesystem"
+            )
         self.path = path
         self.data_dir = os.path.join(path, "data")
         self.lineage_dir = os.path.join(path, "_lineage")
@@ -146,7 +160,12 @@ def run_partitioned(
         part_dir = table.write_partition(key, df)
         written = spark.read.parquet(part_dir)
         lin = make_lineage(key, written) if make_lineage else None
-        n = written.count()
+        # one scan: a lineage fn may hand back the row count it already
+        # aggregated (key "row_count") so no second count() job runs
+        if lin is not None and "row_count" in lin:
+            n = int(lin.pop("row_count"))
+        else:
+            n = written.count()
         with publish_lock:
             table.publish_partition(key, n, lin)
             done += 1
@@ -155,10 +174,21 @@ def run_partitioned(
         for key in todo:
             run_one(key)
     else:
-        from concurrent.futures import ThreadPoolExecutor
+        # fail fast: as_completed + cancel of not-yet-started shards the
+        # moment one fails (plain ex.map defers the error until every
+        # queued shard has run)
+        from concurrent.futures import FIRST_EXCEPTION, ThreadPoolExecutor, wait
 
         with ThreadPoolExecutor(max_concurrent) as ex:
-            list(ex.map(run_one, todo))
+            futures = [ex.submit(run_one, key) for key in todo]
+            done_set, pending = wait(futures, return_when=FIRST_EXCEPTION)
+            failed = next(
+                (f for f in done_set if f.exception() is not None), None
+            )
+            if failed is not None:
+                for f in pending:
+                    f.cancel()
+                raise failed.exception()
     return {
         "requested": len(keys),
         "skipped_committed": len(keys) - len(todo),
@@ -213,6 +243,9 @@ def checkpointed_align(
             F.round(F.sum("brdr_area"), 2).alias("total_area"),
         ).collect()[0]
         return {
+            # row_count rides the same aggregate — run_partitioned skips
+            # its fallback count() job (one scan per shard, not two)
+            "row_count": int(row.n),
             "cell_min": row.cell_min,
             "cell_max": row.cell_max,
             "avg_sym_perc": row.avg_sym_perc,

@@ -11,8 +11,10 @@ Master, executor count/memory and shuffle sizing come from spark-submit
 / cluster conf; the session factory's local-mode knobs are only applied
 when no master is configured. The job is RESUMABLE: re-submitting with
 the same --out directory skips every committed shard via the manifest
-(sources/manifest.py), which is how a killed 10^12-row run continues
-without recomputation.
+(sources/manifest.py), which is how a killed run continues without
+recomputation. --out must be a POSIX path every resuming driver can
+see (NFS / fuse-mounted object store / local disk) — the manifest and
+lineage JSON use local file I/O; a bare s3:// URI is rejected up front.
 """
 
 from __future__ import annotations
@@ -31,7 +33,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="relevant distance(s)")
     p.add_argument("--shards", type=int, default=64,
                    help="resumable shard count (manifest partitions)")
-    p.add_argument("--od-strategy", default="SNAP_ALL_SIDE")
+    p.add_argument(
+        "--od-strategy",
+        default="SNAP_ALL_SIDE",
+        choices=["EXCLUDE", "AS_IS", "SNAP_SINGLE_SIDE", "SNAP_ALL_SIDE"],
+    )
     p.add_argument("--broadcast-ref", action="store_true",
                    help="force broadcast of the reference side")
     p.add_argument("--salt", type=int, default=0,
@@ -48,9 +54,14 @@ def main(argv: list[str] | None = None) -> int:
     from brdrq_spark.sources.manifest import CommittedTable, checkpointed_align
 
     # cluster-first: respect whatever master/conf spark-submit provided;
-    # fall back to the tuned local factory only when standalone
-    builder = SparkSession.builder.appName("brdrq_spark_align")
-    spark = builder.getOrCreate()
+    # a bare `python scripts/submit_align.py` run (no master configured)
+    # falls back to the tuned local factory
+    try:
+        spark = SparkSession.builder.appName("brdrq_spark_align").getOrCreate()
+    except Exception:
+        from brdrq_spark.session import get_spark
+
+        spark = get_spark("brdrq_spark_align")
 
     cfg = AlignConfig(
         relevant_distances=list(args.rd),

@@ -106,17 +106,20 @@ def test_update_to_actual_consumes_engine_emitted_lineage(spark):
     }
 
 
-def test_submit_align_entrypoint(spark, tmp_path):
+def test_submit_align_entrypoint(spark, tmp_path, capsys):
     """The spark-submit job script runs end-to-end (in-process local
     session), commits shards with lineage, and a re-submission with the
-    same --out skips every committed shard."""
+    same --out computes ZERO shards (manifest resume)."""
     import json
+    import os
     import sys
 
-    import pandas as pd
-
-    sys.path.insert(0, "/root/repo/scripts")
-    import submit_align
+    scripts_dir = os.path.join(os.path.dirname(__file__), "..", "scripts")
+    sys.path.insert(0, scripts_dir)
+    try:
+        import submit_align
+    finally:
+        sys.path.remove(scripts_dir)
 
     from brdrq_spark.sources.synthetic import reference_parcels, thematic_polygons
 
@@ -137,20 +140,25 @@ def test_submit_align_entrypoint(spark, tmp_path):
     assert len(tab.committed_keys()) == 2
     assert tab.read(spark).count() == 8
 
-    # resume: second submission computes nothing
+    # resume: second submission computes NOTHING (assert on the printed
+    # summary, not just the exit code — a broken resume_filter would
+    # recompute silently otherwise)
+    capsys.readouterr()
     rc = submit_align.main(
         ["--theme", str(th), "--ref", str(rf), "--out", str(out),
          "--rd", "2.0", "--shards", "2", "--broadcast-ref"]
     )
     assert rc == 0
+    summary = json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    )
+    assert summary["computed"] == 0 and summary["skipped_committed"] == 2
     assert len(tab.committed_keys()) == 2
 
 
 def test_checkpointed_align_concurrent_shards(spark, tmp_path):
     """max_concurrent > 1 commits the same shards with the same lineage
     as the sequential path (manifest publication serialized by lock)."""
-    import pandas as pd
-
     from brdrq_spark.operators.align import AlignConfig
     from brdrq_spark.sources.manifest import CommittedTable, checkpointed_align
     from brdrq_spark.sources.synthetic import reference_parcels, thematic_polygons

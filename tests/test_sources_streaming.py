@@ -330,8 +330,15 @@ def test_bbox_transform_registry():
     assert transform_bbox(b, "EPSG:31370", "EPSG:31370") == b
     with pytest.raises(ValueError, match="no bbox transform"):
         transform_bbox(b, "EPSG:31370", "EPSG:3812")
+    from brdrq_spark.functions import crs as _crs
+
     register_bbox_transform(
         "EPSG:31370", "EPSG:3812",
         lambda a, c, d, e: (a + 1.0, c + 1.0, d + 1.0, e + 1.0),
     )
-    assert transform_bbox(b, "EPSG:31370", "EPSG:3812") == (1.0, 1.0, 11.0, 21.0)
+    try:
+        assert transform_bbox(b, "EPSG:31370", "EPSG:3812") == (
+            1.0, 1.0, 11.0, 21.0,
+        )
+    finally:
+        _crs._BBOX_TRANSFORMS.pop(("EPSG:31370", "EPSG:3812"), None)
