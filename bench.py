@@ -269,20 +269,17 @@ def main():
                 samples[c].extend(r["samples"])
                 rows_scale = r["rows"]
 
-        def current_eff() -> float:
-            return (min(samples[lo]) / min(samples[hi])) / (hi / lo)
-
-        for _round in range(3):
+        # FIXED round count, decided before any measurement: extending
+        # sampling only while the reading looks bad is an
+        # optional-stopping rule that upward-biases the estimate (round-3
+        # bench had exactly that bug — extra rounds ran only when
+        # efficiency read < 0.8 and stopped at the first crossing). Four
+        # rounds always: the stopping rule is independent of the metric,
+        # every sample is printed, and min-per-level over 4 lo / 12 hi
+        # samples absorbs a hypervisor noise window at either level.
+        N_ROUNDS = 4
+        for _round in range(N_ROUNDS):
             one_round()
-        # adaptive extension: a single hypervisor noise window can sink a
-        # 3-round estimate; when it reads < 0.8, run up to 2 more FULL
-        # alternating rounds — both levels gain samples equally, the
-        # min-per-level estimator is unchanged, and every sample stays
-        # visible in the JSON for the reader
-        extra = 0
-        while current_eff() < 0.8 and extra < 2:
-            one_round()
-            extra += 1
         pts = {
             c: {
                 "sec": min(s),
@@ -294,11 +291,10 @@ def main():
         scaling = {f"local[{c}]": v for c, v in pts.items()}
         eff = pts[hi]["rows_per_sec"] / ((hi / lo) * pts[lo]["rows_per_sec"])
         scaling["efficiency"] = round(eff, 3)
-        if extra:
-            scaling["extra_rounds"] = extra
         scaling["n_over_4n"] = f"local[{lo}] -> local[{hi}]"
         scaling["note"] = (
-            "24576-theme job, 3 alternating rounds, min per level "
+            "24576-theme job, 4 alternating rounds FIXED up front "
+            "(no metric-conditioned stopping), min per level "
             "(hypervisor noise protocol, BASELINE.md); kernel_scaling "
             "isolates hardware N->4N at full machine width"
         )

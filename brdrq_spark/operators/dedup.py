@@ -32,13 +32,19 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """Keep one representative (min id) per exact normalized-text group.
     Returns (doc_id, n_copies) for kept docs.
 
-    Group key is 128 bits (two independently-seeded xxhash64 halves): a
+    Group key is 128 bits from two xxhash64 halves over DIFFERENT
+    inputs (the text, and the text under a domain-separation prefix): a
     single 64-bit key has ~2.7% collision probability at 10^9 rows
-    (birthday bound n^2/2^65), which silently merges distinct docs; at
-    128 bits the bound is ~3e-21 — safe at any realistic corpus size."""
+    (birthday bound n^2/2^65), which silently merges distinct docs; two
+    independent halves push the bound to ~3e-21. NB a multi-column
+    xxhash64(norm, lit) would NOT be independent — Spark folds columns
+    by seeding each hash with the previous result, so that form is a
+    pure function of xxhash64(norm) and any h_lo collision would
+    collide on h_hi too. Prefixing the *input* breaks the dependency:
+    the two halves hash different byte strings."""
     norm = normalize_text(F.col(text_col))
     key_lo = F.xxhash64(norm).alias("h_lo")
-    key_hi = F.xxhash64(norm, F.lit(0x9E3779B9)).alias("h_hi")
+    key_hi = F.xxhash64(F.concat(F.lit("s2|"), norm)).alias("h_hi")
     return (
         df.select(F.col(id_col), key_lo, key_hi)
         .groupBy("h_lo", "h_hi")

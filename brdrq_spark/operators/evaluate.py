@@ -42,6 +42,43 @@ FULL_REF_PREFER = "PREFER_FULL_REFERENCE"
 FULL_REF_NO = "NO_FULL_REFERENCE"
 
 
+# O5 admission control / adaptive grid-step policy (reference constants
+# brdrq_dockwidget_aligner.py:63-68: max_feature_count 5000,
+# max_area_optimization 1e5 m², max_area_limit 1e6 m²,
+# max_rel_dist_optimization 7.5 m; step values brdrq_settings.py:70-73:
+# small 10 / mid 20 / big 50 cm; decision chain
+# brdrq_dockwidget_featurealigner.py:1272-1299)
+MAX_AREA_OPTIMIZATION = 100_000.0  # m² — above: coarsen to the big step
+MAX_AREA_LIMIT = 1_000_000.0  # m² — above: calculation blocked
+MAX_REL_DIST_OPTIMIZATION = 7.5  # m
+STEP_SMALL = 0.10  # 10 cm
+STEP_MID = 0.20  # 20 cm
+STEP_BIG = 0.50  # 50 cm
+
+
+def adaptive_grid(area: float, max_rd: float) -> tuple[float, bool]:
+    """(grid step in meters, blocked) per the reference's policy chain
+    (brdrq_dockwidget_featurealigner.py:1272-1299):
+
+    * area > 1e6 m² → blocked (the reference aborts and points the user
+      at the bulk tool);
+    * area > 1e5 m² → big step (50 cm);
+    * THEN, faithfully to the reference's if/elif ordering, the
+      relevant-distance branch OVERWRITES the area branch: max_rd >
+      15 m → big step, 7.5 < max_rd <= 15 → MID step — so a big-area
+      feature evaluated at max_rd = 10 m gets the 20 cm step, exactly
+      as the reference's chain resolves it.
+    """
+    if area > MAX_AREA_LIMIT:
+        return STEP_SMALL, True
+    step = STEP_BIG if area > MAX_AREA_OPTIMIZATION else STEP_SMALL
+    if max_rd > 2 * MAX_REL_DIST_OPTIMIZATION:
+        step = STEP_BIG
+    elif max_rd > MAX_REL_DIST_OPTIMIZATION:
+        step = STEP_MID
+    return step, False
+
+
 def distance_grid(max_rd: float, step: float = 0.1) -> list[float]:
     """The reference's prediction grid: 0 .. max_rd in `step` meters
     (brdrq_algorithm_autocorrectborders.py:627-629; interactive step
@@ -144,6 +181,7 @@ def evaluate(
     broadcast_ref: bool | None = None,
     ref_key_col: str | None = None,
     eq_tol: float = 1e-6,
+    auto_step: bool = False,
 ) -> DataFrame:
     """Full prediction sweep: align over the grid, score stability, keep
     predictions per strategy (ALL / BEST / ORIGINAL) and max_predictions
@@ -163,8 +201,27 @@ def evaluate(
       (|brdr_area - brdr_ref_full_area| <= ``eq_tol``) — i.e. the input
       already coincided with a full-reference composition;
     * both -> ``equality_by_id_and_full_reference``.
+
+    ``auto_step=True`` applies the reference's O5 admission control
+    (``adaptive_grid``): themes above 1e6 m² are dropped from the sweep
+    (the reference blocks them and points at the bulk path), and the
+    grid step is derived from the largest admitted theme's area plus
+    ``max_rd`` — the coarsest step any admitted theme would get, so one
+    global grid serves the whole sweep (per-theme grids would forfeit
+    the single fused align pass). The area probe is one map-only
+    Arrow-batched pass over the theme table; its max is a single-scalar
+    driver aggregate, like the CRS-extent probe in functions/crs.py.
     """
     cfg = config or AlignConfig()
+    if auto_step:
+        from brdrq_spark.functions.geo import area_udf
+
+        with_area = theme_df.withColumn("_o5_area", area_udf()(F.col("geom_wkb")))
+        admitted = with_area.where(F.col("_o5_area") <= F.lit(MAX_AREA_LIMIT))
+        row = admitted.agg(F.max("_o5_area").alias("mx")).first()
+        max_area = float(row["mx"]) if row and row["mx"] is not None else 0.0
+        step, _blocked = adaptive_grid(max_area, max_rd)
+        theme_df = admitted.drop("_o5_area")
     cfg.relevant_distances = distance_grid(max_rd, step)
     aligned = align(spark, theme_df, ref_df, cfg, broadcast_ref=broadcast_ref)
     scored = add_stability(aligned, eps=eps, min_stable=min_stable)
@@ -176,14 +233,20 @@ def evaluate(
     if ref_key_col is not None and ref_key_col in theme_df.columns:
         from brdrq_spark.functions.geo import sym_diff_area_udf
 
-        keys = theme_df.select("theme_id", F.col(ref_key_col).alias("_ref_key"))
-        refgeo = ref_df.select(
-            F.col("ref_id").alias("_ref_key"), F.col("geom_wkb").alias("_ref_geom")
+        # both side tables are tiny projections (two columns, bounded by
+        # the theme / reference row counts) joining the already-filtered
+        # prediction set — broadcast unconditionally, independent of
+        # broadcast_ref, so this path never adds shuffle exchanges
+        keys = F.broadcast(
+            theme_df.select("theme_id", F.col(ref_key_col).alias("_ref_key"))
         )
-        if broadcast_ref:
-            refgeo = F.broadcast(refgeo)
+        refgeo = F.broadcast(
+            ref_df.select(
+                F.col("ref_id").alias("_ref_key"), F.col("geom_wkb").alias("_ref_geom")
+            )
+        )
         preds = (
-            preds.join(F.broadcast(keys) if broadcast_ref else keys, "theme_id", "left")
+            preds.join(keys, "theme_id", "left")
             .join(refgeo, "_ref_key", "left")
             .withColumn(
                 "_eq_id",

@@ -9,13 +9,24 @@ the exact vectorized point-segment distances — a per-partition index
 without any cross-partition traffic. Vertices with no candidates within
 the radius report rank 0 rows (caller can widen rd and retry — the
 expanding-ring pattern).
+
+Skew ceiling removed (round-4): grouping by theme_id alone lets one
+giant theme in a dense area gather ALL its candidate segments into a
+single task. Candidates are therefore hash-partitioned into sub-groups
+of <= ``max_refs_per_group`` reference parcels per (theme, group); the
+kernel computes per-vertex top-k inside each sub-group, and a window
+re-rank merges them exactly — the union of per-group top-k sets
+contains the global top-k, because each group's kept set includes its
+own k smallest distances (or everything within the radius, whichever
+is fewer). The merge key (theme_id, vertex_idx) is fine-grained, so no
+single task ever sees more than k x n_groups rows per vertex.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -43,16 +54,29 @@ def knn_boundary_segments(
     ref_df: DataFrame,
     k: int = 3,
     search_radius: float = 10.0,
+    max_refs_per_group: int = 256,
 ) -> DataFrame:
     """One row per (theme vertex, neighbor segment), rank 1..k by
-    distance (ties broken by ref_id, seg_idx — deterministic)."""
+    distance (ties broken by ref_id, seg_idx — deterministic, identical
+    inside the kernel's lexsort and the cross-group window merge)."""
     pairs = candidate_pairs(theme_df, ref_df, max_rd=search_radius / 2.0)
+    # sub-group sizing is per theme: n_groups = ceil(candidates / cap),
+    # assignment by hash so every ref lands in exactly one group (no
+    # duplicate (vertex, segment) rows to dedup at merge time)
+    wcnt = Window.partitionBy("theme_id")
+    n_groups = F.greatest(
+        F.ceil(F.count("*").over(wcnt) / F.lit(max_refs_per_group)), F.lit(1)
+    )
+    pairs = pairs.withColumn(
+        "_sub", F.pmod(F.xxhash64("ref_id"), n_groups).cast("int")
+    )
     t = theme_df.select("theme_id", F.col("geom_wkb").alias("theme_wkb"))
     r = ref_df.select("ref_id", F.col("geom_wkb").alias("ref_wkb"))
     grouped = (
         t.join(pairs, "theme_id", "left")
+        .withColumn("_sub", F.coalesce(F.col("_sub"), F.lit(0)))
         .join(r, "ref_id", "left")
-        .select("theme_id", "theme_wkb", "ref_id", "ref_wkb")
+        .select("theme_id", "_sub", "theme_wkb", "ref_id", "ref_wkb")
     )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -105,4 +129,16 @@ def knn_boundary_segments(
             out_rows, columns=[f.name for f in KNN_SCHEMA.fields]
         )
 
-    return grouped.groupBy("theme_id").applyInPandas(kernel, schema=KNN_SCHEMA)
+    per_group = grouped.groupBy("theme_id", "_sub").applyInPandas(
+        kernel, schema=KNN_SCHEMA
+    )
+    # exact cross-group merge: re-rank each vertex's union of per-group
+    # top-k candidates under the SAME deterministic order as the
+    # kernel's lexsort, keep global rank <= k
+    wv = Window.partitionBy("theme_id", "vertex_idx").orderBy(
+        "dist", "ref_id", "seg_idx"
+    )
+    return (
+        per_group.withColumn("rank", F.row_number().over(wv))
+        .where(F.col("rank") <= k)
+    )

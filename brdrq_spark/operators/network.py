@@ -41,12 +41,17 @@ from brdrq_spark.operators.align import AlignConfig, align_candidate_rows
 from brdrq_spark.operators.snaplines import SNAP_NO_PREFERENCE, _snap_vertices, densify
 
 # Processor ids mirror the reference enum (brdrq_utils.py:102-111;
-# topology is registered at :229; Dieussaert stays commented out of
-# ENUM_PROCESSOR_OPTIONS there, so the in-scope surface is these four)
+# topology is registered at :229). Dieussaert is commented out of the
+# UI's ENUM_PROCESSOR_OPTIONS (:106) but the dispatch still routes it
+# (brdrq_utils.py:223), so the id is accepted here for dispatch parity;
+# its math lives in the closed brdr package and is unobservable from
+# the reference, so the documented stand-in is the default aligner
+# kernel with a remark flagging the substitution.
 PROCESSOR_ALIGNER = "2024:aligner2024a"
 PROCESSOR_SNAP = "2024:snap2024a"
 PROCESSOR_NETWORK = "2024:network2024a"
 PROCESSOR_TOPOLOGY = "2024:topology2024a"
+PROCESSOR_DIEUSSAERT = "2024:dieussaert2024a"
 
 
 def align_with_processor(
@@ -87,13 +92,26 @@ def align_with_processor(
         )
     from brdrq_spark.operators.align import align as _align
 
-    return _align(
+    out = _align(
         spark,
         theme_df,
         ref_df,
         AlignConfig(relevant_distances=[relevant_distance]),
         broadcast_ref=broadcast_ref,
     )
+    if processor_id == PROCESSOR_DIEUSSAERT:
+        # routed like the reference dispatch (brdrq_utils.py:223) but the
+        # DieussaertGeometryProcessor's algorithm is brdr-internal —
+        # run the default kernel and flag the substitution per row
+        out = out.withColumn(
+            "brdr_remark",
+            F.concat_ws(
+                "; ",
+                F.lit("dieussaert->aligner stand-in"),
+                F.when(F.col("brdr_remark") != "", F.col("brdr_remark")),
+            ),
+        )
+    return out
 
 
 NETWORK_SCHEMA = T.StructType(

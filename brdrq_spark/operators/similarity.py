@@ -51,9 +51,26 @@ def hyperplane_signs(n_bits: int, dim: int, seed: int = 7) -> list[list[float]]:
 def rh_signature(vec_col, n_bits: int, dim: int, seed: int = 7):
     """Random-hyperplane signature column (long, JVM-side only):
     bit b = [dot(v, plane_b) > 0]. n_bits aggregates over zip_with stay
-    inside whole-stage codegen — no Python in the signature path."""
+    inside whole-stage codegen — no Python in the signature path.
+
+    A vector whose length != ``dim`` raises at execution time rather
+    than degrading: zip_with would null-pad the shorter side, every
+    projection would go null, and ALL mismatched vectors would collapse
+    into signature 0 — one degenerate bucket whose cap then silently
+    drops recall. Loud beats wrong."""
     v = vec_col.cast("array<double>")
-    sig = F.lit(0).cast("long")
+    guard = F.assert_true(
+        F.size(v) == F.lit(dim),
+        F.concat(
+            F.lit(f"rh_signature: vector length != dim={dim} (got "),
+            F.size(v).cast("string"),
+            F.lit(")"),
+        ),
+    )
+    # assert_true returns NULL on success (and raises otherwise), so
+    # folding it through a coalesce keeps the guard inside the same
+    # projected expression without a separate pass
+    sig = F.coalesce(guard.cast("long"), F.lit(0).cast("long"))
     for b, row in enumerate(hyperplane_signs(n_bits, dim, seed)):
         plane = F.array(*[F.lit(x) for x in row])
         proj = F.aggregate(

@@ -36,3 +36,53 @@ def test_knn_finds_nearest_segment(spark):
     for rows in by_vertex.values():
         ds = [r.dist for r in sorted(rows, key=lambda r: r.rank)]
         assert ds == sorted(ds)
+
+
+def test_knn_hot_theme_subgroups_match_single_group(spark):
+    """De-skew path: one giant theme over a dense 100-parcel grid. With
+    max_refs_per_group=8 the candidates split into ~13 hash sub-groups
+    (multi-task execution instead of one task owning every segment);
+    the window merge must reproduce the single-group result exactly —
+    same rows, same ranks, same distances."""
+    from brdrq_spark.operators.candidates import candidate_pairs
+
+    # 10x10 grid of 4x4 parcels covering [0,40)^2
+    refs = []
+    for i in range(10):
+        for j in range(10):
+            refs.append(
+                {
+                    "ref_id": f"r{i}{j}",
+                    "geom_wkb": rings_to_wkb(
+                        [
+                            np.array(
+                                [[0.0, 0], [4, 0], [4, 4], [0, 4]]
+                            )
+                            + np.array([4.0 * i, 4.0 * j])
+                        ]
+                    ),
+                }
+            )
+    ref_df = spark.createDataFrame(pd.DataFrame(refs))
+    theme = np.array([[0.7, 0.6], [39.1, 0.6], [39.1, 39.2], [0.7, 39.2]])
+    th_df = spark.createDataFrame(
+        pd.DataFrame([{"theme_id": "hot", "geom_wkb": rings_to_wkb([theme])}])
+    )
+    # precondition: the theme really is hot — candidate count far above
+    # the sub-group cap, so n_groups > 1
+    n_pairs = candidate_pairs(th_df, ref_df, max_rd=5.0).count()
+    assert n_pairs > 8
+
+    def rows(max_refs):
+        out = knn_boundary_segments(
+            spark, th_df, ref_df, k=3, search_radius=10.0,
+            max_refs_per_group=max_refs,
+        ).collect()
+        return sorted(
+            (r.vertex_idx, r.rank, r.ref_id, r.seg_idx, round(r.dist, 9))
+            for r in out
+        )
+
+    single = rows(10**9)
+    split = rows(8)
+    assert split == single and len(single) > 0

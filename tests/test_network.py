@@ -76,10 +76,17 @@ def test_network_align_multipolygon_parts_stay_adjacent(spark):
 
 def test_processor_dispatch(spark):
     """A2: get_processor_by_id analogue routes ids to kernels; unknown
-    ids fall back to the default aligner (brdrq_utils.py:217-220)."""
+    ids fall back to the default aligner (brdrq_utils.py:217-220);
+    the Dieussaert id is ROUTED like the reference dispatch does
+    (brdrq_utils.py:223 — even though the UI enum comments it out at
+    :106) and runs the default kernel as a documented stand-in with a
+    per-row remark, since its math is brdr-internal."""
     from brdrq_spark.operators.network import (
+        PROCESSOR_ALIGNER,
+        PROCESSOR_DIEUSSAERT,
         PROCESSOR_NETWORK,
         PROCESSOR_SNAP,
+        PROCESSOR_TOPOLOGY,
         align_with_processor,
     )
 
@@ -91,16 +98,24 @@ def test_processor_dispatch(spark):
             [{"theme_id": "t", "geom_wkb": rings_to_wkb([_rect(0.4, 0.3, 10.2, 9.8)])}]
         )
     )
+    # dispatch parity over ALL five reference ids + the unknown-id
+    # fallback (A2 complete)
     for pid, col in [
         (PROCESSOR_SNAP, "n_snapped"),
         (PROCESSOR_NETWORK, "n_snapped"),
-        ("2024:aligner2024a", "brdr_full_actual"),
+        (PROCESSOR_TOPOLOGY, "n_shared_edges"),
+        (PROCESSOR_ALIGNER, "brdr_full_actual"),
+        (PROCESSOR_DIEUSSAERT, "brdr_full_actual"),
         ("bogus-id", "brdr_full_actual"),
     ]:
         out = align_with_processor(spark, th, ref, processor_id=pid, relevant_distance=2.0)
         assert col in out.columns
         row = out.collect()[0]
         assert rings_area(rings_from_wkb(row.result_wkb)) == pytest.approx(100.0, rel=0.02)
+        if pid == PROCESSOR_DIEUSSAERT:
+            assert "dieussaert->aligner stand-in" in row.brdr_remark
+        elif "brdr_remark" in out.columns and pid == PROCESSOR_ALIGNER:
+            assert "dieussaert" not in (row.brdr_remark or "")
 
 
 def test_topology_shared_border_bit_identical(spark):

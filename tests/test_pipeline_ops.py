@@ -334,6 +334,27 @@ def test_ann_bucket_cap_deterministic(spark):
     assert sorted(r.c_id for r in out) == list(range(1, 10))
 
 
+def test_rh_signature_dim_mismatch_fails_loudly(spark):
+    """A vector whose length != dim must RAISE, not silently bucket
+    everything into signature 0: zip_with null-pads the shorter side,
+    projections go null, all buckets collapse, and the per-bucket cap
+    would then drop recall with no error (ADVICE r3)."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from brdrq_spark.operators.similarity import rh_signature
+
+    emb = spark.createDataFrame(
+        pd.DataFrame([{"vec_id": 0, "embedding": [1.0, 2.0, 3.0]}])
+    )
+    ok = emb.select(rh_signature(F.col("embedding"), 4, dim=3).alias("s")).collect()
+    assert len(ok) == 1 and ok[0].s >= 0
+    with _pytest.raises(Exception, match="length != dim"):
+        emb.select(rh_signature(F.col("embedding"), 4, dim=8).alias("s")).collect()
+
+
 def test_p9_prioritized_field_cap(spark):
     """Keyword-matched fields rank first; the cap drops trailing
     unmatched fields, so a needle present only there does not match

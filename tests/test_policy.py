@@ -1,0 +1,91 @@
+"""O5 admission-control / adaptive grid-step policy tests.
+
+Threshold sources (pinned one-for-one): constants
+brdrq_dockwidget_aligner.py:63-68 (max_area_optimization 1e5 m²,
+max_area_limit 1e6 m², max_rel_dist_optimization 7.5 m), step values
+brdrq_settings.py:70-73 (small 10 / mid 20 / big 50 cm), decision chain
+brdrq_dockwidget_featurealigner.py:1272-1299.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from brdrq_spark.geom import rings_to_wkb
+from brdrq_spark.operators.evaluate import adaptive_grid
+
+
+@pytest.mark.parametrize(
+    "area,max_rd,exp_step,exp_blocked",
+    [
+        # plain small feature, small rd -> small step
+        (1e4, 5.0, 0.10, False),
+        # area branch: > 1e5 m2 -> big step
+        (2e5, 5.0, 0.50, False),
+        # reference's if/elif quirk: the rd branch OVERWRITES the area
+        # branch — big area + rd in (7.5, 15] resolves to the MID step
+        (2e5, 10.0, 0.20, False),
+        # rd branch alone: (7.5, 15] -> mid, > 15 -> big
+        (1e4, 10.0, 0.20, False),
+        (1e4, 16.0, 0.50, False),
+        (2e5, 16.0, 0.50, False),
+        # boundaries are strict (> not >=), matching the reference
+        (1e5, 5.0, 0.10, False),
+        (1e4, 7.5, 0.10, False),
+        (1e4, 15.0, 0.20, False),
+        # blocked: > 1e6 m2
+        (2e6, 5.0, None, True),
+        (1e6, 5.0, 0.50, False),  # exactly at the limit: admitted, big step
+    ],
+)
+def test_adaptive_grid_reference_thresholds(area, max_rd, exp_step, exp_blocked):
+    step, blocked = adaptive_grid(area, max_rd)
+    assert blocked is exp_blocked
+    if exp_step is not None:
+        assert step == pytest.approx(exp_step)
+
+
+def _rect_wkb(x0, y0, w, h):
+    return rings_to_wkb(
+        [np.array([[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h]])]
+    )
+
+
+def test_evaluate_auto_step_blocks_and_coarsens(spark):
+    """evaluate(auto_step=True): the >1e6 m² theme is dropped from the
+    sweep (the reference blocks it, featurealigner.py:1279-1284) and the
+    grid step comes from the largest ADMITTED theme's area — here
+    250000 m² > 1e5 -> 50 cm, so max_rd=2 yields the 5-point grid
+    {0, .5, 1, 1.5, 2} instead of the default 21-point 10 cm grid."""
+    from brdrq_spark.operators.evaluate import evaluate
+
+    themes = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"theme_id": "t_small", "geom_wkb": _rect_wkb(0.3, 0.2, 10, 10)},
+                {"theme_id": "t_big", "geom_wkb": _rect_wkb(1000.4, 0.3, 500, 500)},
+                # 1100 x 1100 = 1.21e6 m2 -> blocked
+                {"theme_id": "t_blocked", "geom_wkb": _rect_wkb(5000.0, 0.0, 1100, 1100)},
+            ]
+        )
+    )
+    refs = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"ref_id": "r_small", "geom_wkb": _rect_wkb(0, 0, 10, 10)},
+                {"ref_id": "r_big", "geom_wkb": _rect_wkb(1000, 0, 500, 500)},
+                {"ref_id": "r_blocked", "geom_wkb": _rect_wkb(5000, 0, 1100, 1100)},
+            ]
+        )
+    )
+    out = evaluate(
+        spark, themes, refs, max_rd=2.0, step=0.1, auto_step=True,
+        broadcast_ref=True, min_stable=2,
+    )
+    rows = out.select("theme_id", "brdr_relevant_distance").collect()
+    ids = {r.theme_id for r in rows}
+    assert "t_blocked" not in ids
+    rds = {round(r.brdr_relevant_distance, 2) for r in rows}
+    # predictions sit on the coarse 0.5 m grid only
+    assert rds <= {0.0, 0.5, 1.0, 1.5, 2.0}
+    assert ids  # the admitted themes did produce predictions
