@@ -101,6 +101,25 @@ def _decompose_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     out = []
     for r in pdf.itertuples(index=False):
         rings = rings_from_wkb(r.geom_wkb)
+        if not rings:
+            # sentinel row: keeps the theme in the pipeline so the
+            # one-row-per-theme contract holds WITHOUT a separate
+            # anti-join + third decompose pass (ekey None never matches
+            # the snap output; reassembly recognises edge_idx == -1)
+            out.append(
+                {
+                    "theme_id": r.theme_id,
+                    "ring_idx": -1,
+                    "edge_idx": -1,
+                    "rev": False,
+                    "ekey": None,
+                    "ax": 0.0,
+                    "ay": 0.0,
+                    "bx": 0.0,
+                    "by": 0.0,
+                }
+            )
+            continue
         for ri, ring in enumerate(rings):
             closed = np.vstack([ring, ring[:1]])
             for ei in range(len(closed) - 1):
@@ -166,6 +185,23 @@ def _reassemble(rd: float):
         theme_id = pdf["theme_id"].iloc[0]
         rings = []
         remark = ""
+        real = pdf[pdf["edge_idx"] >= 0]
+        if not len(real):
+            # sentinel-only group: the theme's WKB decoded to no rings
+            return pd.DataFrame(
+                [
+                    {
+                        "theme_id": theme_id,
+                        "brdr_relevant_distance": float(rd),
+                        "result_wkb": rings_to_wkb([]),
+                        "brdr_area": 0.0,
+                        "n_edges": 0,
+                        "n_shared_edges": 0,
+                        "brdr_remark": "no_geometry",
+                    }
+                ]
+            )
+        pdf = real
         for _, g in pdf.groupby("ring_idx", sort=True):
             g = g.sort_values("edge_idx")
             pts = []
@@ -220,7 +256,7 @@ def align_topology(
     # beats persist() (which would pin cached blocks for the session —
     # there is no post-action hook to unpersist a lazily-consumed frame)
 
-    distinct_edges = membership.groupBy("ekey").agg(
+    distinct_edges = membership.where(F.col("ekey").isNotNull()).groupBy("ekey").agg(
         F.first("ax").alias("ax"),
         F.first("ay").alias("ay"),
         F.first("bx").alias("bx"),
@@ -297,24 +333,11 @@ def align_topology(
         "shared", F.coalesce(F.col("shared"), F.lit(False))
     )
     # groupBy().applyInPandas hash-partitions by theme_id itself — no
-    # explicit repartition needed
-    out = joined.groupBy("theme_id").applyInPandas(
+    # explicit repartition needed. The one-row-per-theme contract (same
+    # as align()) holds via the decompose sentinel: a theme whose WKB
+    # decodes to no rings emits one ekey-null edge row, reaches
+    # reassembly through the same left join, and reports an explicit
+    # no_geometry row — no anti-join, no extra decompose pass.
+    return joined.groupBy("theme_id").applyInPandas(
         _reassemble(rd), schema=TOPOLOGY_SCHEMA
     )
-    # one-row-per-theme contract (same as align()): themes whose WKB
-    # decodes to no rings produce no edges — anti-join them back as
-    # explicit empty rows instead of silently vanishing
-    empty_wkb = rings_to_wkb([])
-    missing = theme_df.select("theme_id").join(
-        membership.select("theme_id").distinct(), "theme_id", "left_anti"
-    )
-    bare = missing.select(
-        "theme_id",
-        F.lit(float(rd)).alias("brdr_relevant_distance"),
-        F.lit(bytearray(empty_wkb)).cast("binary").alias("result_wkb"),
-        F.lit(0.0).alias("brdr_area"),
-        F.lit(0).cast("int").alias("n_edges"),
-        F.lit(0).cast("int").alias("n_shared_edges"),
-        F.lit("no_geometry").alias("brdr_remark"),
-    )
-    return out.unionByName(bare)

@@ -169,6 +169,50 @@ def test_topology_shared_border_bit_identical(spark):
             assert abs(out[tid].brdr_area - 100.0) < 1e-9
 
 
+def test_topology_empty_theme_keeps_row(spark):
+    """One-row-per-theme contract: a theme whose WKB decodes to no
+    rings still reports an explicit no_geometry row. This rides the
+    decompose sentinel (no anti-join / extra decompose pass — the plan
+    stays at 2 joins), so pin both the row and the normal neighbor."""
+    import numpy as np
+    import pandas as pd
+
+    from brdrq_spark.geom import rings_to_wkb
+    from brdrq_spark.operators.topology import align_topology
+
+    ring = np.array([[0.3, 0.0], [10.3, 0.0], [10.3, 10.0], [0.3, 10.0]])
+    th = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"theme_id": "ok", "geom_wkb": rings_to_wkb([ring])},
+                {"theme_id": "hollow", "geom_wkb": rings_to_wkb([])},
+            ]
+        )
+    )
+    ref = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {
+                    "ref_id": "r",
+                    "geom_wkb": rings_to_wkb(
+                        [np.array([[0.0, 0.0], [10, 0], [10, 10], [0, 10]])]
+                    ),
+                }
+            ]
+        )
+    )
+    out = {
+        r.theme_id: r
+        for r in align_topology(
+            spark, th, ref, relevant_distance=1.0, broadcast_ref=True
+        ).collect()
+    }
+    assert set(out) == {"ok", "hollow"}
+    assert out["hollow"].brdr_remark == "no_geometry"
+    assert out["hollow"].brdr_area == 0.0 and out["hollow"].n_edges == 0
+    assert abs(out["ok"].brdr_area - 100.0) < 1e-9 and out["ok"].brdr_remark == ""
+
+
 def test_topology_processor_dispatch(spark):
     import numpy as np
     import pandas as pd
