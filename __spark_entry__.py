@@ -1242,31 +1242,66 @@ def q_align_reference_fixture(spark, sf_dir):
 
 
 def q_align_lines_snap(spark, sf_dir):
-    """A10: experimental line/point alignment — vertex snapping to
-    reference boundaries with SnapStrategy semantics."""
+    """A10 vertex-strategy semantics ORACLE-CHECKED (SnapStrategy enum
+    brdrq_utils.py:181-182; complements snaplines_closed_form's
+    NO_PREFERENCE): vertical 8 m lines at dx = 0.2 + 0.08*(i%5) right
+    of a parcel's right edge densify to 5 vertices (y = 1,3,5,7,9).
+    Closed form per strategy:
+
+    * ONLY_VERTICES: only the end vertices (y=1, y=9) have a parcel
+      corner within rd=2 (hypot(dx,1) <= 2; mid vertices' nearest
+      corner is hypot(dx,3) > 2) -> n_snapped = 2,
+      max_move = sqrt(dx^2+1);
+    * PREFER_VERTICES: ends snap to corners, mid vertices fall back to
+      the boundary projection (move dx) -> n_snapped = 5, same
+      max_move (sqrt(dx^2+1) > dx)."""
     import numpy as np
     import pandas as pd
 
+    from brdrq_spark.geom import rings_to_wkb
     from brdrq_spark.geom.wkb import lines_to_wkb
-    from brdrq_spark.operators.snaplines import SNAP_NO_PREFERENCE, align_lines
-    from brdrq_spark.sources.synthetic import reference_parcels
+    from brdrq_spark.operators.snaplines import (
+        SNAP_ONLY_VERTICES,
+        SNAP_PREFER_VERTICES,
+        align_lines,
+    )
 
-    ref = spark.createDataFrame(reference_parcels(6, 6, seed=3))
-    x = 170000.0 + 64.0
-    ys = np.linspace(170010.0, 170110.0, 21)
-    rng = np.random.default_rng(4)
-    line = np.column_stack([x + rng.uniform(-0.8, 0.8, len(ys)), ys])
-    th = spark.createDataFrame(
-        pd.DataFrame([{"theme_id": "line_1", "geom_wkb": lines_to_wkb([line])}])
-    )
-    out = align_lines(
-        spark, th, ref, relevant_distance=2.0,
-        snap_strategy=SNAP_NO_PREFERENCE, broadcast_ref=True,
-    )
-    return out.select(
-        "theme_id", "n_vertices", "n_snapped",
-        F.round("max_move", 3).alias("max_move"), "brdr_remark",
-    )
+    n = 40
+    refs, themes = [], []
+    for i in range(n):
+        x0 = 20.0 * i
+        dx = 0.2 + 0.08 * (i % 5)
+        refs.append(
+            {
+                "ref_id": f"r{i}",
+                "geom_wkb": rings_to_wkb(
+                    [
+                        np.array(
+                            [[x0, 0.0], [x0 + 10.0, 0.0], [x0 + 10.0, 10.0], [x0, 10.0]]
+                        )
+                    ]
+                ),
+            }
+        )
+        line = np.array([[x0 + 10.0 + dx, 1.0], [x0 + 10.0 + dx, 9.0]])
+        themes.append({"theme_id": f"t{i}", "geom_wkb": lines_to_wkb([line])})
+    th = spark.createDataFrame(pd.DataFrame(themes))
+    ref = spark.createDataFrame(pd.DataFrame(refs))
+    outs = []
+    for strat in (SNAP_ONLY_VERTICES, SNAP_PREFER_VERTICES):
+        outs.append(
+            align_lines(
+                spark, th, ref, relevant_distance=2.0,
+                snap_strategy=strat, broadcast_ref=True,
+            ).select(
+                "theme_id",
+                F.lit(strat).alias("strategy"),
+                F.col("n_vertices").cast("bigint").alias("n_vertices"),
+                F.col("n_snapped").cast("bigint").alias("n_snapped"),
+                F.round("max_move", 3).alias("max_move"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
 
 
 def q_align_od_snap(spark, sf_dir):
@@ -1546,6 +1581,24 @@ def oracle_sql() -> dict[str, str]:
                  round(0.2 + 0.1 * (i % 5)::DOUBLE, 3) AS max_move,
                  '' AS brdr_remark
           FROM range(40) t(i)
+        """,
+        "align_lines_snap": """
+          -- dx = 0.2 + 0.08*(i%5); ONLY_VERTICES snaps the two end
+          -- vertices to parcel corners (move sqrt(dx^2+1)); mid
+          -- vertices' nearest corner is > rd away. PREFER_VERTICES
+          -- additionally snaps the 3 mid vertices to the boundary
+          -- (move dx < sqrt(dx^2+1)); max_move identical.
+          SELECT 't' || i AS theme_id,
+                 s.strategy,
+                 5::BIGINT AS n_vertices,
+                 (CASE WHEN s.strategy = 'ONLY_VERTICES' THEN 2 ELSE 5
+                  END)::BIGINT AS n_snapped,
+                 round(sqrt((0.2 + 0.08 * (i % 5)::DOUBLE)
+                            * (0.2 + 0.08 * (i % 5)::DOUBLE) + 1.0),
+                       3) AS max_move
+          FROM range(40) t(i),
+               (SELECT 'ONLY_VERTICES' AS strategy
+                UNION ALL SELECT 'PREFER_VERTICES') s
         """,
         "temporal_closed_form": """
           SELECT 't' || i AS theme_id,
