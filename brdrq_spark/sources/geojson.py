@@ -2,10 +2,11 @@
 loaded from .geojson fixtures — plugin/brdrq/test/test_autocorrectborders.py:
 51-54 — and written back as FeatureCollections, brdrq_utils.py:775-838).
 
-A FeatureCollection is ONE json object — inherently non-splittable — so
-parallelism comes from *many files*: `spark.read.text(wholetext)` gives
-one row per file, and a mapInPandas kernel parses features into
-(feature_id, geom_wkb, props map<string,string>) rows. Geometry goes
+A FeatureCollection is ONE json object — the top-level parse is
+inherently per-file — but the expensive per-feature geometry decode is
+not: the default read splits features out of each file and decodes
+them across the cluster (see ``read_geojson``), so even one multi-GB
+file is single-task only for its linear json split. Geometry goes
 through the normalization kernel (P1-P4: make_valid, Multi-promotion,
 Z-drop). Spark's own JSON reader is unusable here: Polygon (3-deep) and
 MultiPolygon (4-deep) coordinates break its schema inference.
@@ -85,42 +86,91 @@ def geojson_geom_to_rings(geom: dict | None) -> list[np.ndarray]:
     return normalize(rings)
 
 
-def read_geojson(spark: SparkSession, path: str, id_field: str | None = None) -> DataFrame:
-    """FeatureCollection file(s) → DataFrame(feature_id, geom_wkb, props)."""
+def _feature_to_row(f: dict, i: int, id_field: str | None) -> dict:
+    props = {
+        str(k): (
+            None
+            if v is None
+            else json.dumps(v)
+            if isinstance(v, (dict, list))
+            else str(v)
+        )
+        for k, v in (f.get("properties") or {}).items()
+    }
+    fid = props.get(id_field) if id_field else str(f.get("id", i))
+    return {
+        "feature_id": fid,
+        "geom_wkb": geojson_geom_to_wkb(f.get("geometry")),
+        "props": props,
+    }
+
+
+def read_geojson(
+    spark: SparkSession,
+    path: str,
+    id_field: str | None = None,
+    split_features: bool = True,
+) -> DataFrame:
+    """FeatureCollection file(s) → DataFrame(feature_id, geom_wkb, props).
+
+    A FeatureCollection is ONE json object, so the top-level parse of a
+    file is inherently one task — but the expensive half (coordinate
+    array decode, ring normalization, WKB encode — the bulk of the work
+    on real layers) is per-feature. With ``split_features`` (default)
+    the read is two stages: stage 1 parses each file once and emits the
+    features back out as JSON strings (chunked, memory-bounded), a
+    repartition spreads them across the cluster, and stage 2 decodes
+    geometry in parallel. A multi-GB single-file layer then occupies
+    one task only for the linear json split, not for the whole decode.
+    ``split_features=False`` keeps the single-pass per-file parse (the
+    right shape for many small files, where the extra shuffle would
+    dominate)."""
     files = spark.read.text(path, wholetext=True)
 
-    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    if not split_features:
+
+        def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                rows = []
+                for txt in pdf["value"]:
+                    fc = json.loads(txt)
+                    for i, f in enumerate(fc.get("features", [])):
+                        rows.append(_feature_to_row(f, i, id_field))
+                yield pd.DataFrame(
+                    rows, columns=["feature_id", "geom_wkb", "props"]
+                )
+
+        return files.mapInPandas(parse, schema=GEOJSON_SCHEMA)
+
+    chunk = 4096
+
+    def split(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
             for txt in pdf["value"]:
                 fc = json.loads(txt)
                 feats = fc.get("features", [])
-                for i, f in enumerate(feats):
-                    props = {
-                        str(k): (
-                            None
-                            if v is None
-                            else json.dumps(v)
-                            if isinstance(v, (dict, list))
-                            else str(v)
-                        )
-                        for k, v in (f.get("properties") or {}).items()
-                    }
-                    fid = (
-                        props.get(id_field)
-                        if id_field
-                        else str(f.get("id", i))
-                    )
-                    rows.append(
+                for lo in range(0, len(feats), chunk):
+                    part = feats[lo : lo + chunk]
+                    yield pd.DataFrame(
                         {
-                            "feature_id": fid,
-                            "geom_wkb": geojson_geom_to_wkb(f.get("geometry")),
-                            "props": props,
+                            "idx": range(lo, lo + len(part)),
+                            "feature": [json.dumps(f) for f in part],
                         }
                     )
+
+    feat_rows = files.mapInPandas(split, schema="idx long, feature string")
+    par = spark.sparkContext.defaultParallelism
+    feat_rows = feat_rows.repartition(par * 2)
+
+    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                _feature_to_row(json.loads(s), int(i), id_field)
+                for i, s in zip(pdf["idx"], pdf["feature"])
+            ]
             yield pd.DataFrame(rows, columns=["feature_id", "geom_wkb", "props"])
 
-    return files.mapInPandas(parse, schema=GEOJSON_SCHEMA)
+    return feat_rows.mapInPandas(decode, schema=GEOJSON_SCHEMA)
 
 
 @F.pandas_udf(T.StringType())

@@ -56,6 +56,39 @@ def test_geojson_roundtrip(spark, tmp_path):
     assert geom_types == {"MultiPolygon"}  # Multi-promoted on write
 
 
+def test_geojson_split_features_matches_single_pass(spark, tmp_path):
+    """The parallel feature-split read (default) and the per-file
+    single-pass read produce identical rows — including the positional
+    fallback feature_id, which must survive the repartition."""
+    feats = [
+        {
+            "type": "Feature",
+            "geometry": {
+                "type": "Polygon",
+                "coordinates": [
+                    [[10.0 * i, 0], [10.0 * i + 8, 0], [10.0 * i + 8, 8],
+                     [10.0 * i, 8], [10.0 * i, 0]]
+                ],
+            },
+            # NO id/id_field for odd i: falls back to the feature index
+            "properties": {"name": f"f{i}"} if i % 2 else {"name": f"f{i}", "id": i},
+        }
+        for i in range(37)
+    ]
+    p = tmp_path / "many.geojson"
+    p.write_text(json.dumps({"type": "FeatureCollection", "features": feats}))
+
+    def canon(df):
+        return sorted(
+            (r.feature_id, bytes(r.geom_wkb), tuple(sorted(r.props.items())))
+            for r in df.collect()
+        )
+
+    split = canon(read_geojson(spark, str(p)))
+    single = canon(read_geojson(spark, str(p), split_features=False))
+    assert split == single and len(split) == 37
+
+
 def test_streaming_windowed_counts_matches_batch(spark, tmp_path):
     # static events → batch result
     ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
