@@ -244,18 +244,26 @@ def main():
         spark.stop()
         import subprocess
 
-        def scale_point(c: int, passes: int = 1) -> dict:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--scale-run",
-                 str(c), paths["theme_scale"], paths["ref"], str(passes)],
-                capture_output=True, text=True, timeout=900,
-            )
-            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-            return json.loads(line)
+        def scale_point(c: int, passes: int = 1) -> dict | None:
+            # 2400 s headroom: the 32768-theme lo pass is ~200-260 s in
+            # a calm window and the protocol exists precisely because
+            # multi-minute noise windows multiply that — a timed-out
+            # sample must degrade to a missing sample, not abort the
+            # bench and discard every sample already collected
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--scale-run",
+                     str(c), paths["theme_scale"], paths["ref"], str(passes)],
+                    capture_output=True, text=True, timeout=2400,
+                )
+            except subprocess.TimeoutExpired:
+                return None
+            lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+            return json.loads(lines[-1]) if lines else None
 
         lo = max(CPUS // 8, 1)
         hi = max(CPUS // 2, 2)
-        # 3 alternating rounds; the HIGH level takes 2 passes per round
+        # alternating rounds; the HIGH level takes 3 passes per round
         # (cheap) because bandwidth-steal windows hit high-parallelism
         # runs 3x harder than low ones (local[4] is stable within ~10%,
         # local[16] swings ~1.8x) — more hi samples, same min estimator
@@ -266,6 +274,8 @@ def main():
             nonlocal rows_scale
             for c, passes in ((lo, 1), (hi, 3)):
                 r = scale_point(c, passes)
+                if r is None:
+                    continue
                 samples[c].extend(r["samples"])
                 rows_scale = r["rows"]
 
@@ -287,10 +297,15 @@ def main():
                 "samples": s,
             }
             for c, s in samples.items()
+            if s
         }
         scaling = {f"local[{c}]": v for c, v in pts.items()}
-        eff = pts[hi]["rows_per_sec"] / ((hi / lo) * pts[lo]["rows_per_sec"])
-        scaling["efficiency"] = round(eff, 3)
+        if lo in pts and hi in pts:
+            eff = pts[hi]["rows_per_sec"] / ((hi / lo) * pts[lo]["rows_per_sec"])
+            scaling["efficiency"] = round(eff, 3)
+        else:
+            scaling["efficiency"] = None
+            scaling["error"] = "insufficient_samples (scale-run timeouts)"
         scaling["n_over_4n"] = f"local[{lo}] -> local[{hi}]"
         scaling["note"] = (
             "32768-theme job, 4 alternating rounds FIXED up front "

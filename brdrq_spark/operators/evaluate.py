@@ -79,6 +79,30 @@ def adaptive_grid(area: float, max_rd: float) -> tuple[float, bool]:
     return step, False
 
 
+def _broadcast_if_small(df: DataFrame, force: bool | None, cap_bytes: int = 512 << 20):
+    """Broadcast hint policy for the equality-refinement side tables:
+    ``force=True`` (caller asserts the reference is small) always
+    broadcasts, ``force=False`` (caller asserts it is NOT) never does —
+    a blind F.broadcast of a projection that keeps geometry WKB would
+    collect the whole layer to the driver at cluster scale — and the
+    ``None`` default consults the optimizer's plan-time size estimate,
+    so small/medium layers drop the two side-join shuffles without
+    removing the shuffle-join escape hatch for layers that don't fit."""
+    if force is True:
+        return F.broadcast(df)
+    if force is False:
+        return df
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        )
+        if size <= cap_bytes:
+            return F.broadcast(df)
+    except Exception:
+        pass
+    return df
+
+
 def distance_grid(max_rd: float, step: float = 0.1) -> list[float]:
     """The reference's prediction grid: 0 .. max_rd in `step` meters
     (brdrq_algorithm_autocorrectborders.py:627-629; interactive step
@@ -203,24 +227,35 @@ def evaluate(
     * both -> ``equality_by_id_and_full_reference``.
 
     ``auto_step=True`` applies the reference's O5 admission control
-    (``adaptive_grid``): themes above 1e6 m² are dropped from the sweep
-    (the reference blocks them and points at the bulk path), and the
+    (``adaptive_grid``): themes above 1e6 m² are excluded from the
+    sweep but still appear in the output as explicit rows with
+    ``brdr_evaluation = 'blocked_by_area'`` (the reference blocks them
+    loudly and points at the bulk path — silent disappearance would
+    break any consumer joining results back to the input), and the
     grid step is derived from the largest admitted theme's area plus
     ``max_rd`` — the coarsest step any admitted theme would get, so one
     global grid serves the whole sweep (per-theme grids would forfeit
-    the single fused align pass). The area probe is one map-only
-    Arrow-batched pass over the theme table; its max is a single-scalar
-    driver aggregate, like the CRS-extent probe in functions/crs.py.
+    the single fused align pass). Note auto_step launches one small
+    Spark job at call time (the area probe's single-scalar max, like
+    the CRS-extent probe in functions/crs.py), and the admission filter
+    rides lineage — downstream passes re-run the map-only Arrow area
+    decode rather than pinning a persisted copy of the theme table in
+    executor memory (one extra decode per pass is cheap next to a
+    ~40-distance alignment sweep of the same geometry).
     """
     cfg = config or AlignConfig()
+    blocked = None
     if auto_step:
         from brdrq_spark.functions.geo import area_udf
 
         with_area = theme_df.withColumn("_o5_area", area_udf()(F.col("geom_wkb")))
         admitted = with_area.where(F.col("_o5_area") <= F.lit(MAX_AREA_LIMIT))
+        blocked = with_area.where(F.col("_o5_area") > F.lit(MAX_AREA_LIMIT)).select(
+            "theme_id"
+        )
         row = admitted.agg(F.max("_o5_area").alias("mx")).first()
         max_area = float(row["mx"]) if row and row["mx"] is not None else 0.0
-        step, _blocked = adaptive_grid(max_area, max_rd)
+        step, _blocked_flag = adaptive_grid(max_area, max_rd)
         theme_df = admitted.drop("_o5_area")
     cfg.relevant_distances = distance_grid(max_rd, step)
     aligned = align(spark, theme_df, ref_df, cfg, broadcast_ref=broadcast_ref)
@@ -233,17 +268,21 @@ def evaluate(
     if ref_key_col is not None and ref_key_col in theme_df.columns:
         from brdrq_spark.functions.geo import sym_diff_area_udf
 
-        # both side tables are tiny projections (two columns, bounded by
-        # the theme / reference row counts) joining the already-filtered
-        # prediction set — broadcast unconditionally, independent of
-        # broadcast_ref, so this path never adds shuffle exchanges
-        keys = F.broadcast(
-            theme_df.select("theme_id", F.col(ref_key_col).alias("_ref_key"))
+        # both side tables join the already-filtered prediction set;
+        # broadcast them when the caller or the size estimate says they
+        # fit (_broadcast_if_small) so the path adds no shuffle
+        # exchanges on small/medium layers while an explicit
+        # broadcast_ref=False keeps the shuffled join for layers whose
+        # WKB payload cannot sit on the driver
+        keys = _broadcast_if_small(
+            theme_df.select("theme_id", F.col(ref_key_col).alias("_ref_key")),
+            broadcast_ref,
         )
-        refgeo = F.broadcast(
+        refgeo = _broadcast_if_small(
             ref_df.select(
                 F.col("ref_id").alias("_ref_key"), F.col("geom_wkb").alias("_ref_geom")
-            )
+            ),
+            broadcast_ref,
         )
         preds = (
             preds.join(keys, "theme_id", "left")
@@ -306,4 +345,19 @@ def evaluate(
             )
             .drop("_src_wkb")
         )
-    return preds.drop("_rank")
+    out = preds.drop("_rank")
+    if blocked is not None:
+        # one explicit row per blocked theme (mirrors the topology
+        # sentinel contract): theme_id + the blocked label, every other
+        # column null — consumers can distinguish "refused by admission
+        # control" from "lost"
+        sentinel_cols = [
+            F.col("theme_id")
+            if f.name == "theme_id"
+            else F.lit("blocked_by_area").alias(f.name)
+            if f.name == "brdr_evaluation"
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in out.schema.fields
+        ]
+        out = out.unionByName(blocked.select(*sentinel_cols))
+    return out

@@ -53,17 +53,19 @@ def rh_signature(vec_col, n_bits: int, dim: int, seed: int = 7):
     bit b = [dot(v, plane_b) > 0]. n_bits aggregates over zip_with stay
     inside whole-stage codegen — no Python in the signature path.
 
-    A vector whose length != ``dim`` raises at execution time rather
-    than degrading: zip_with would null-pad the shorter side, every
-    projection would go null, and ALL mismatched vectors would collapse
-    into signature 0 — one degenerate bucket whose cap then silently
-    drops recall. Loud beats wrong."""
+    A non-null vector whose length != ``dim`` raises at execution time
+    rather than degrading: zip_with would null-pad the shorter side,
+    every projection would go null, and ALL mismatched vectors would
+    collapse into signature 0 — one degenerate bucket whose cap then
+    silently drops recall. Loud beats wrong. NULL vectors keep their
+    historical behavior (signature 0) — a missing embedding is a data
+    gap, not a wiring bug, and must not abort a corpus-scale job."""
     v = vec_col.cast("array<double>")
     guard = F.assert_true(
-        F.size(v) == F.lit(dim),
+        v.isNull() | (F.size(v) == F.lit(dim)),
         F.concat(
             F.lit(f"rh_signature: vector length != dim={dim} (got "),
-            F.size(v).cast("string"),
+            F.coalesce(F.size(v).cast("string"), F.lit("null")),
             F.lit(")"),
         ),
     )

@@ -4,9 +4,10 @@ loaded from .geojson fixtures — plugin/brdrq/test/test_autocorrectborders.py:
 
 A FeatureCollection is ONE json object — the top-level parse is
 inherently per-file — but the expensive per-feature geometry decode is
-not: the default read splits features out of each file and decodes
-them across the cluster (see ``read_geojson``), so even one multi-GB
-file is single-task only for its linear json split. Geometry goes
+not: for a big single-file layer the read splits features out of the
+file and decodes them across the cluster (see ``read_geojson``), so
+even one multi-GB file is single-task only for its linear json split;
+many-small-files layouts keep the cheaper per-file pass. Geometry goes
 through the normalization kernel (P1-P4: make_valid, Multi-promotion,
 Z-drop). Spark's own JSON reader is unusable here: Polygon (3-deep) and
 MultiPolygon (4-deep) coordinates break its schema inference.
@@ -105,26 +106,62 @@ def _feature_to_row(f: dict, i: int, id_field: str | None) -> dict:
     }
 
 
+SPLIT_SIZE_BYTES = 64 << 20  # auto-split threshold for a single file
+
+
+def _auto_split(path: str) -> bool:
+    """Pick the read shape from the input layout: a SINGLE local file
+    bigger than SPLIT_SIZE_BYTES wants the feature-split pipeline
+    (per-file parallelism is zero); many files or small files keep the
+    single-pass shape (the shuffle + double json parse would cost more
+    than it buys). Unresolvable paths (remote URIs, odd globs) default
+    to split — the scale-safe choice when nothing is known."""
+    import glob as _glob
+    import os as _os
+
+    p = path[7:] if path.startswith("file://") else path
+    if "://" in p:
+        return True
+    matches = _glob.glob(p) if any(c in p for c in "*?[") else [p]
+    files: list[str] = []
+    for m in matches:
+        if _os.path.isdir(m):
+            files += [
+                _os.path.join(m, f)
+                for f in _os.listdir(m)
+                if not f.startswith((".", "_"))
+            ]
+        elif _os.path.isfile(m):
+            files.append(m)
+    if not files:
+        return True
+    return len(files) == 1 and _os.path.getsize(files[0]) > SPLIT_SIZE_BYTES
+
+
 def read_geojson(
     spark: SparkSession,
     path: str,
     id_field: str | None = None,
-    split_features: bool = True,
+    split_features: bool | None = None,
 ) -> DataFrame:
     """FeatureCollection file(s) → DataFrame(feature_id, geom_wkb, props).
 
     A FeatureCollection is ONE json object, so the top-level parse of a
     file is inherently one task — but the expensive half (coordinate
     array decode, ring normalization, WKB encode — the bulk of the work
-    on real layers) is per-feature. With ``split_features`` (default)
-    the read is two stages: stage 1 parses each file once and emits the
+    on real layers) is per-feature. With ``split_features=True`` the
+    read is two stages: stage 1 parses each file once and emits the
     features back out as JSON strings (chunked, memory-bounded), a
     repartition spreads them across the cluster, and stage 2 decodes
     geometry in parallel. A multi-GB single-file layer then occupies
     one task only for the linear json split, not for the whole decode.
     ``split_features=False`` keeps the single-pass per-file parse (the
-    right shape for many small files, where the extra shuffle would
-    dominate)."""
+    right shape for many small files, where the extra shuffle and
+    double json parse would dominate). The ``None`` default picks per
+    ``_auto_split``: split only for one big (>64 MB) or unresolvable
+    input."""
+    if split_features is None:
+        split_features = _auto_split(path)
     files = spark.read.text(path, wholetext=True)
 
     if not split_features:

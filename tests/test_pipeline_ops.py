@@ -353,6 +353,14 @@ def test_rh_signature_dim_mismatch_fails_loudly(spark):
     assert len(ok) == 1 and ok[0].s >= 0
     with _pytest.raises(Exception, match="length != dim"):
         emb.select(rh_signature(F.col("embedding"), 4, dim=8).alias("s")).collect()
+    # a NULL embedding is a data gap, not a wiring bug: keeps its
+    # historical signature-0 behavior instead of aborting the job
+    nulled = spark.createDataFrame(
+        pd.DataFrame([{"vec_id": 1, "embedding": None}]),
+        schema="vec_id long, embedding array<double>",
+    )
+    got = nulled.select(rh_signature(F.col("embedding"), 4, dim=3).alias("s")).collect()
+    assert got[0].s == 0
 
 
 def test_p9_prioritized_field_cap(spark):

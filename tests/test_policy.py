@@ -52,8 +52,9 @@ def _rect_wkb(x0, y0, w, h):
 
 
 def test_evaluate_auto_step_blocks_and_coarsens(spark):
-    """evaluate(auto_step=True): the >1e6 m² theme is dropped from the
-    sweep (the reference blocks it, featurealigner.py:1279-1284) and the
+    """evaluate(auto_step=True): the >1e6 m² theme is excluded from the
+    sweep but reported as an explicit blocked_by_area row (the
+    reference blocks it loudly, featurealigner.py:1279-1284), and the
     grid step comes from the largest ADMITTED theme's area — here
     250000 m² > 1e5 -> 50 cm, so max_rd=2 yields the 5-point grid
     {0, .5, 1, 1.5, 2} instead of the default 21-point 10 cm grid."""
@@ -82,10 +83,16 @@ def test_evaluate_auto_step_blocks_and_coarsens(spark):
         spark, themes, refs, max_rd=2.0, step=0.1, auto_step=True,
         broadcast_ref=True, min_stable=2,
     )
-    rows = out.select("theme_id", "brdr_relevant_distance").collect()
-    ids = {r.theme_id for r in rows}
-    assert "t_blocked" not in ids
-    rds = {round(r.brdr_relevant_distance, 2) for r in rows}
+    rows = out.select(
+        "theme_id", "brdr_relevant_distance", "brdr_evaluation"
+    ).collect()
+    blocked = [r for r in rows if r.theme_id == "t_blocked"]
+    # exactly one explicit sentinel row, never a swept prediction
+    assert len(blocked) == 1
+    assert blocked[0].brdr_evaluation == "blocked_by_area"
+    assert blocked[0].brdr_relevant_distance is None
+    swept = [r for r in rows if r.theme_id != "t_blocked"]
+    rds = {round(r.brdr_relevant_distance, 2) for r in swept}
     # predictions sit on the coarse 0.5 m grid only
     assert rds <= {0.0, 0.5, 1.0, 1.5, 2.0}
-    assert ids  # the admitted themes did produce predictions
+    assert swept  # the admitted themes did produce predictions

@@ -57,9 +57,11 @@ def test_geojson_roundtrip(spark, tmp_path):
 
 
 def test_geojson_split_features_matches_single_pass(spark, tmp_path):
-    """The parallel feature-split read (default) and the per-file
-    single-pass read produce identical rows — including the positional
-    fallback feature_id, which must survive the repartition."""
+    """The parallel feature-split read and the per-file single-pass
+    read produce identical rows — including the positional fallback
+    feature_id, which must survive the repartition — and the auto mode
+    picks single-pass for small/many files, split for one big file."""
+    from brdrq_spark.sources.geojson import _auto_split
     feats = [
         {
             "type": "Feature",
@@ -84,9 +86,18 @@ def test_geojson_split_features_matches_single_pass(spark, tmp_path):
             for r in df.collect()
         )
 
-    split = canon(read_geojson(spark, str(p)))
+    split = canon(read_geojson(spark, str(p), split_features=True))
     single = canon(read_geojson(spark, str(p), split_features=False))
     assert split == single and len(split) == 37
+
+    # auto mode: small single file -> single-pass; one huge file ->
+    # split; remote URI (unresolvable) -> split
+    assert _auto_split(str(p)) is False
+    big = tmp_path / "big.geojson"
+    big.write_bytes(b" " * (65 << 20))
+    assert _auto_split(str(big)) is True
+    assert _auto_split("s3://bucket/layer.geojson") is True
+    assert _auto_split(str(tmp_path / "*.geojson")) is False  # 2 files
 
 
 def test_streaming_windowed_counts_matches_batch(spark, tmp_path):
