@@ -65,13 +65,22 @@ def cells_exploded(
     (caller re-joins it by id); None ships the WKB on every row.
     ``outer``: emit one NULL-cell row for empty geometries (explode_outer
     semantics) so every input id survives.
+
+    The per-batch work is two-phase: the WKB decode walks rows (header
+    structure is inherently per-geometry; the bbox comes from the same
+    snapped ring set the kernels see, so covers stay bit-identical to
+    the per-row path), then the cover + row assembly is ONE numpy pass
+    over the whole batch — index ranges, repeat-by-count id/bbox
+    columns, and a single Morton interleave over every emitted cell,
+    instead of a per-row meshgrid + list-extend (measured ~3x on the
+    4096-parcel cover batch).
     """
     import numpy as np
     import pandas as pd
 
     from brdrq_spark.geom import bbox as _bbox
     from brdrq_spark.geom import rings_from_wkb
-    from brdrq_spark.grid import cell_cover_bbox
+    from brdrq_spark.grid import _BIAS, cell_id, cell_size
 
     extra_cols = list(extra_cols or [])
     in_schema = df.schema
@@ -90,45 +99,85 @@ def cells_exploded(
     schema = T.StructType(fields)
     names = [f.name for f in fields]
 
+    cs = cell_size(res)
+
     def gen(batches):
         for pdf in batches:
-            out: dict[str, list] = {n: [] for n in names}
+            # phase 1 — per-row decode (bit-identical bbox semantics:
+            # snapped rings, degenerate rings dropped, empty -> outer)
+            ids: list = []
+            wkbs: list = []
+            bbs: list[tuple] = []
+            ex_vals: dict[str, list] = {c: [] for c in extra_cols}
+            outer_buf: dict[str, list] = {n: [] for n in names}
             for r in pdf.itertuples(index=False):
                 wkb = r.geom_wkb
                 rings = rings_from_wkb(wkb) if wkb is not None else []
                 if not rings:
                     if outer:
-                        out[id_col].append(getattr(r, id_col))
+                        outer_buf[id_col].append(getattr(r, id_col))
                         if wkb_out:
-                            out[wkb_out].append(wkb)
+                            outer_buf[wkb_out].append(wkb)
                         for k in (f"{prefix}_minx", f"{prefix}_miny",
                                   f"{prefix}_maxx", f"{prefix}_maxy"):
-                            out[k].append(None)
-                        out["cell"].append(None)
+                            outer_buf[k].append(None)
+                        outer_buf["cell"].append(None)
                         for c in extra_cols:
-                            out[c].append(getattr(r, c))
+                            outer_buf[c].append(getattr(r, c))
                     continue
-                mnx, mny, mxx, mxy = _bbox(rings)
-                cells = cell_cover_bbox(mnx, mny, mxx, mxy, res, dilate)
-                n = len(cells)
-                ship = wkb
-                if (
-                    inline_budget is not None
-                    and wkb is not None
-                    and n * len(wkb) > inline_budget
-                ):
-                    ship = None
-                out[id_col].extend([getattr(r, id_col)] * n)
-                if wkb_out:
-                    out[wkb_out].extend([ship] * n)
-                out[f"{prefix}_minx"].extend([mnx] * n)
-                out[f"{prefix}_miny"].extend([mny] * n)
-                out[f"{prefix}_maxx"].extend([mxx] * n)
-                out[f"{prefix}_maxy"].extend([mxy] * n)
-                out["cell"].extend(cells.tolist())
+                ids.append(getattr(r, id_col))
+                wkbs.append(wkb)
+                bbs.append(_bbox(rings))
                 for c in extra_cols:
-                    out[c].extend([getattr(r, c)] * n)
-            yield pd.DataFrame(out, columns=names)
+                    ex_vals[c].append(getattr(r, c))
+
+            if not ids:
+                yield pd.DataFrame(outer_buf, columns=names)
+                continue
+
+            # phase 2 — one vectorized cover + assembly for the batch
+            bb = np.asarray(bbs, dtype=np.float64)
+            ix0 = np.floor((bb[:, 0] - dilate + _BIAS) / cs).astype(np.int64)
+            iy0 = np.floor((bb[:, 1] - dilate + _BIAS) / cs).astype(np.int64)
+            ix1 = np.floor((bb[:, 2] + dilate + _BIAS) / cs).astype(np.int64)
+            iy1 = np.floor((bb[:, 3] + dilate + _BIAS) / cs).astype(np.int64)
+            nx = ix1 - ix0 + 1
+            ny = iy1 - iy0 + 1
+            counts = nx * ny
+            total = int(counts.sum())
+            row_idx = np.repeat(np.arange(len(counts)), counts)
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            off = np.arange(total, dtype=np.int64) - starts[row_idx]
+            gx = ix0[row_idx] + off % nx[row_idx]
+            gy = iy0[row_idx] + off // nx[row_idx]
+            cells = cell_id(gx.astype(np.uint64), gy.astype(np.uint64), res)
+
+            out: dict[str, np.ndarray] = {}
+            out[id_col] = np.repeat(np.asarray(ids, dtype=object), counts)
+            if wkb_out:
+                ship = np.asarray(wkbs, dtype=object)
+                if inline_budget is not None:
+                    lens = np.asarray(
+                        [len(w) if w is not None else 0 for w in wkbs],
+                        dtype=np.int64,
+                    )
+                    ship = ship.copy()
+                    ship[counts * lens > inline_budget] = None
+                out[wkb_out] = np.repeat(ship, counts)
+            out[f"{prefix}_minx"] = np.repeat(bb[:, 0], counts)
+            out[f"{prefix}_miny"] = np.repeat(bb[:, 1], counts)
+            out[f"{prefix}_maxx"] = np.repeat(bb[:, 2], counts)
+            out[f"{prefix}_maxy"] = np.repeat(bb[:, 3], counts)
+            out["cell"] = cells
+            for c in extra_cols:
+                out[c] = np.repeat(np.asarray(ex_vals[c], dtype=object), counts)
+            body = pd.DataFrame(out, columns=names)
+            if outer_buf[id_col]:
+                body = pd.concat(
+                    [body, pd.DataFrame(outer_buf, columns=names)],
+                    ignore_index=True,
+                )
+            yield body
 
     cols = [id_col, "geom_wkb", *extra_cols]
     return df.select(*cols).mapInPandas(gen, schema=schema)

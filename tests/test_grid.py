@@ -77,3 +77,51 @@ def test_pick_resolution_monotone():
     assert rs == sorted(rs, reverse=True)
     assert cell_size(pick_resolution(2.0)) >= 4 * 2.0
     assert 0 <= min(rs) and max(rs) <= 15
+
+
+def test_cells_exploded_matches_per_row_cover(spark):
+    """The batch-vectorized cover/assembly in cells_exploded must emit
+    exactly the multiset of (id, cell, bbox) rows the per-row
+    cell_cover_bbox path produces — including the inline-budget NULLing
+    of oversized WKB and outer rows for empty geometries."""
+    import pandas as pd
+
+    from brdrq_spark.geom import bbox as gbbox, rings_from_wkb, rings_to_wkb
+    from brdrq_spark.operators.candidates import cells_exploded
+    from brdrq_spark.sources.synthetic import thematic_polygons
+
+    th = thematic_polygons(64, 8, 8, seed=11, jitter=1.0)
+    # append an empty-geometry row to exercise the outer path
+    th = pd.concat(
+        [th, pd.DataFrame([{"theme_id": "empty", "geom_wkb": rings_to_wkb([])}])],
+        ignore_index=True,
+    )
+    df = spark.createDataFrame(th[["theme_id", "geom_wkb"]])
+    res, dilate = 10, 4.04
+    got = cells_exploded(
+        df, "theme_id", res, dilate, "t", wkb_out="theme_wkb",
+        inline_budget=9 * 200, outer=True,
+    ).collect()
+
+    exp = []
+    for _, r in th.iterrows():
+        rings = rings_from_wkb(r.geom_wkb)
+        if not rings:
+            exp.append((r.theme_id, None, None, None))
+            continue
+        mnx, mny, mxx, mxy = gbbox(rings)
+        cells = cell_cover_bbox(mnx, mny, mxx, mxy, res, dilate)
+        ship = r.geom_wkb if len(cells) * len(r.geom_wkb) <= 9 * 200 else None
+        for c in cells:
+            exp.append((r.theme_id, int(c), round(mnx, 9), ship is not None))
+    got_t = sorted(
+        (
+            r.theme_id,
+            int(r.cell) if r.cell is not None else None,
+            round(r.t_minx, 9) if r.t_minx is not None else None,
+            r.theme_wkb is not None if r.cell is not None else None,
+        )
+        for r in got
+    )
+    assert got_t == sorted(exp)
+    assert ("empty", None, None, None) in got_t
