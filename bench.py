@@ -244,12 +244,15 @@ def main():
         spark.stop()
         import subprocess
 
+        scale_errors: list[str] = []
+
         def scale_point(c: int, passes: int = 1) -> dict | None:
             # 2400 s headroom: the 32768-theme lo pass is ~200-260 s in
             # a calm window and the protocol exists precisely because
-            # multi-minute noise windows multiply that — a timed-out
-            # sample must degrade to a missing sample, not abort the
-            # bench and discard every sample already collected
+            # multi-minute noise windows multiply that — a timed-out or
+            # crashed sample must degrade to a missing sample (with an
+            # explicit marker in the JSON, never silently), not abort
+            # the bench and discard every sample already collected
             try:
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--scale-run",
@@ -257,9 +260,17 @@ def main():
                     capture_output=True, text=True, timeout=2400,
                 )
             except subprocess.TimeoutExpired:
+                scale_errors.append(f"local[{c}]: timeout >2400s")
                 return None
             lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
-            return json.loads(lines[-1]) if lines else None
+            if not lines:
+                tail = (out.stderr or "").strip().splitlines()[-3:]
+                scale_errors.append(
+                    f"local[{c}]: rc={out.returncode} no-json; stderr tail: "
+                    + " | ".join(tail)
+                )
+                return None
+            return json.loads(lines[-1])
 
         lo = max(CPUS // 8, 1)
         hi = max(CPUS // 2, 2)
@@ -305,7 +316,9 @@ def main():
             scaling["efficiency"] = round(eff, 3)
         else:
             scaling["efficiency"] = None
-            scaling["error"] = "insufficient_samples (scale-run timeouts)"
+            scaling["error"] = "insufficient_samples"
+        if scale_errors:
+            scaling["scale_run_errors"] = scale_errors
         scaling["n_over_4n"] = f"local[{lo}] -> local[{hi}]"
         scaling["note"] = (
             "32768-theme job, 4 alternating rounds FIXED up front "

@@ -78,19 +78,45 @@ def cell_of_points(x: np.ndarray, y: np.ndarray, res: int) -> np.ndarray:
     return cell_id(ix, iy, res)
 
 
+def cover_ranges(minx, miny, maxx, maxy, res: int, dilate: float = 0.0):
+    """Vectorized cell-index ranges of (dilated) bboxes: int64 arrays
+    (ix0, iy0, nx, ny). The SINGLE owner of the cover arithmetic —
+    both the scalar ``cell_cover_bbox`` and the batch explode path
+    (candidates.cells_exploded) derive from it, so the bias/floor math
+    cannot silently diverge between the two join sides.
+
+    Non-finite coordinates raise (a NaN would otherwise flow through
+    ``astype(int64)`` as INT64_MIN and join a garbage Morton cell —
+    wrong output beats no output only in the other direction)."""
+    cs = cell_size(res)
+    minx = np.asarray(minx, dtype=np.float64)
+    miny = np.asarray(miny, dtype=np.float64)
+    maxx = np.asarray(maxx, dtype=np.float64)
+    maxy = np.asarray(maxy, dtype=np.float64)
+    finite = (
+        np.isfinite(minx) & np.isfinite(miny) & np.isfinite(maxx) & np.isfinite(maxy)
+    )
+    if not finite.all():
+        raise ValueError(
+            f"cover_ranges: {int((~finite).sum())} bbox(es) with non-finite "
+            f"coordinates (corrupt geometry upstream)"
+        )
+    ix0 = np.floor((minx - dilate + _BIAS) / cs).astype(np.int64)
+    ix1 = np.floor((maxx + dilate + _BIAS) / cs).astype(np.int64)
+    iy0 = np.floor((miny - dilate + _BIAS) / cs).astype(np.int64)
+    iy1 = np.floor((maxy + dilate + _BIAS) / cs).astype(np.int64)
+    return ix0, iy0, ix1 - ix0 + 1, iy1 - iy0 + 1
+
+
 def cell_cover_bbox(
     minx: float, miny: float, maxx: float, maxy: float, res: int, dilate: float = 0.0
 ) -> np.ndarray:
     """Sorted int64 ids of all cells overlapping the (dilated) bbox."""
     if maxx < minx or maxy < miny:
         return np.zeros(0, dtype=np.int64)
-    cs = cell_size(res)
-    ix0 = int(np.floor((minx - dilate + _BIAS) / cs))
-    ix1 = int(np.floor((maxx + dilate + _BIAS) / cs))
-    iy0 = int(np.floor((miny - dilate + _BIAS) / cs))
-    iy1 = int(np.floor((maxy + dilate + _BIAS) / cs))
-    ix = np.arange(ix0, ix1 + 1, dtype=np.uint64)
-    iy = np.arange(iy0, iy1 + 1, dtype=np.uint64)
+    ix0, iy0, nx, ny = cover_ranges(minx, miny, maxx, maxy, res, dilate)
+    ix = np.arange(int(ix0), int(ix0) + int(nx), dtype=np.uint64)
+    iy = np.arange(int(iy0), int(iy0) + int(ny), dtype=np.uint64)
     gx, gy = np.meshgrid(ix, iy)
     out = cell_id(gx.ravel(), gy.ravel(), res)
     out.sort()

@@ -80,7 +80,7 @@ def cells_exploded(
 
     from brdrq_spark.geom import bbox as _bbox
     from brdrq_spark.geom import rings_from_wkb
-    from brdrq_spark.grid import _BIAS, cell_id, cell_size
+    from brdrq_spark.grid import cell_id, cover_ranges
 
     extra_cols = list(extra_cols or [])
     in_schema = df.schema
@@ -98,8 +98,6 @@ def cells_exploded(
         fields.append(in_schema[c])
     schema = T.StructType(fields)
     names = [f.name for f in fields]
-
-    cs = cell_size(res)
 
     def gen(batches):
         for pdf in batches:
@@ -136,13 +134,12 @@ def cells_exploded(
                 continue
 
             # phase 2 — one vectorized cover + assembly for the batch
+            # (cover arithmetic lives in grid.cover_ranges, shared with
+            # the scalar cell_cover_bbox so both join sides agree)
             bb = np.asarray(bbs, dtype=np.float64)
-            ix0 = np.floor((bb[:, 0] - dilate + _BIAS) / cs).astype(np.int64)
-            iy0 = np.floor((bb[:, 1] - dilate + _BIAS) / cs).astype(np.int64)
-            ix1 = np.floor((bb[:, 2] + dilate + _BIAS) / cs).astype(np.int64)
-            iy1 = np.floor((bb[:, 3] + dilate + _BIAS) / cs).astype(np.int64)
-            nx = ix1 - ix0 + 1
-            ny = iy1 - iy0 + 1
+            ix0, iy0, nx, ny = cover_ranges(
+                bb[:, 0], bb[:, 1], bb[:, 2], bb[:, 3], res, dilate
+            )
             counts = nx * ny
             total = int(counts.sum())
             row_idx = np.repeat(np.arange(len(counts)), counts)

@@ -243,6 +243,9 @@ def embedding_near_dup(
     from brdrq_spark.operators.similarity import probe_buckets, rh_signature
 
     norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x * x))
+    # NULL embeddings can never be near-duplicates of anything; drop
+    # them before bucketing so they don't consume the per-bucket cap
+    emb = emb.where(F.col(vec_col).isNotNull())
     base = emb.select(
         F.col(id_col),
         F.col(vec_col),

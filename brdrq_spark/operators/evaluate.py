@@ -79,7 +79,7 @@ def adaptive_grid(area: float, max_rd: float) -> tuple[float, bool]:
     return step, False
 
 
-def _broadcast_if_small(df: DataFrame, force: bool | None, cap_bytes: int = 512 << 20):
+def _broadcast_if_small(df: DataFrame, force: bool | None, cap_bytes: int = 64 << 20):
     """Broadcast hint policy for the equality-refinement side tables:
     ``force=True`` (caller asserts the reference is small) always
     broadcasts, ``force=False`` (caller asserts it is NOT) never does —
@@ -87,7 +87,11 @@ def _broadcast_if_small(df: DataFrame, force: bool | None, cap_bytes: int = 512 
     collect the whole layer to the driver at cluster scale — and the
     ``None`` default consults the optimizer's plan-time size estimate,
     so small/medium layers drop the two side-join shuffles without
-    removing the shuffle-join escape hatch for layers that don't fit."""
+    removing the shuffle-join escape hatch for layers that don't fit.
+    The cap is deliberately conservative (64 MB): the estimate for a
+    file scan is the ON-DISK compressed size, and decoded WKB inflates
+    several-fold on the driver — a cap near the broadcast hard limit
+    would OOM default-sized drivers on layers it nominally admits."""
     if force is True:
         return F.broadcast(df)
     if force is False:

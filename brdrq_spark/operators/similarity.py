@@ -153,8 +153,11 @@ def knn_join_bucketed(
     from pyspark.sql import Window
 
     def with_bucket(df, prefix):
+        # a NULL embedding can never match anything — drop it up front
+        # so it neither crowds bucket 0's cap (evicting real
+        # signature-0 vectors) nor emits null-cosine rows into top-k
         v = F.col(vec_col).cast("array<double>")
-        return df.select(
+        return df.where(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias(f"{prefix}_id"),
             v.alias(f"{prefix}_vec"),
             rh_signature(F.col(vec_col), n_bits, dim, seed).alias("_sig"),

@@ -5,9 +5,13 @@ loaded from .geojson fixtures — plugin/brdrq/test/test_autocorrectborders.py:
 A FeatureCollection is ONE json object — the top-level parse is
 inherently per-file — but the expensive per-feature geometry decode is
 not: for a big single-file layer the read splits features out of the
-file and decodes them across the cluster (see ``read_geojson``), so
-even one multi-GB file is single-task only for its linear json split;
-many-small-files layouts keep the cheaper per-file pass. Geometry goes
+file and decodes them across the cluster (see ``read_geojson``), so a
+large file is single-task only for its linear json split. Hard limit:
+the wholetext read materializes each file as one string value, capped
+at ~2 GB by Spark/Arrow (and needing ~2-3x that transiently in one
+worker) — beyond hundreds of MB, convert to Parquet/WKB for ingest;
+GeoJSON here is the interop edge, not the durable format. Many-small-
+files layouts keep the cheaper per-file pass. Geometry goes
 through the normalization kernel (P1-P4: make_valid, Multi-promotion,
 Z-drop). Spark's own JSON reader is unusable here: Polygon (3-deep) and
 MultiPolygon (4-deep) coordinates break its schema inference.
@@ -127,9 +131,10 @@ def _auto_split(path: str) -> bool:
     for m in matches:
         if _os.path.isdir(m):
             files += [
-                _os.path.join(m, f)
+                fp
                 for f in _os.listdir(m)
                 if not f.startswith((".", "_"))
+                and _os.path.isfile(fp := _os.path.join(m, f))
             ]
         elif _os.path.isfile(m):
             files.append(m)
@@ -153,8 +158,9 @@ def read_geojson(
     read is two stages: stage 1 parses each file once and emits the
     features back out as JSON strings (chunked, memory-bounded), a
     repartition spreads them across the cluster, and stage 2 decodes
-    geometry in parallel. A multi-GB single-file layer then occupies
-    one task only for the linear json split, not for the whole decode.
+    geometry in parallel — one task holds only the linear json split,
+    not the whole geometry decode. (The wholetext single-value cap of
+    ~2 GB still bounds the file size — see the module docstring.)
     ``split_features=False`` keeps the single-pass per-file parse (the
     right shape for many small files, where the extra shuffle and
     double json parse would dominate). The ``None`` default picks per

@@ -9,6 +9,7 @@ from brdrq_spark.grid import (
     cell_id,
     cell_of_points,
     cell_size,
+    cover_ranges,
     morton2,
     pick_resolution,
 )
@@ -125,3 +126,14 @@ def test_cells_exploded_matches_per_row_cover(spark):
     )
     assert got_t == sorted(exp)
     assert ("empty", None, None, None) in got_t
+
+
+def test_cover_ranges_shared_and_loud_on_nan():
+    """cover_ranges is the single owner of the cover arithmetic: the
+    scalar cell_cover_bbox derives from it, and non-finite bboxes raise
+    instead of flowing through astype(int64) as INT64_MIN garbage."""
+    ix0, iy0, nx, ny = cover_ranges(0.0, 0.0, 100.0, 100.0, 10)
+    assert int(nx) * int(ny) == len(cell_cover_bbox(0.0, 0.0, 100.0, 100.0, 10))
+    with pytest.raises(ValueError, match="non-finite"):
+        cover_ranges(np.array([0.0, np.nan]), np.array([0.0, 0.0]),
+                     np.array([1.0, 1.0]), np.array([1.0, 1.0]), 10)

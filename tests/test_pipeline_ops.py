@@ -363,6 +363,40 @@ def test_rh_signature_dim_mismatch_fails_loudly(spark):
     assert got[0].s == 0
 
 
+def test_null_embeddings_excluded_from_bucketing(spark):
+    """NULL embeddings must not pollute bucket 0 (where the per-bucket
+    cap would evict real signature-0 vectors) nor emit null-cosine rows
+    into top-k — both bucketed paths filter them up front."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from brdrq_spark.operators.dedup import embedding_near_dup
+    from brdrq_spark.operators.similarity import knn_join_bucketed
+
+    vec = [0.5, 1.0, -0.25, 0.75]
+    rows = [(i, vec) for i in range(6)] + [(100 + i, None) for i in range(20)]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    emb = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]), schema)
+
+    out = knn_join_bucketed(
+        emb, emb.where("vec_id = 0"), k=30, n_bits=8, dim=4,
+        multi_probe=False, max_bucket_size=4,
+    ).collect()
+    # cap of 4 admits real ids 1..3 (0 is the query) — NULL rows neither
+    # consume the cap nor appear as candidates
+    assert sorted(r.c_id for r in out) == [1, 2, 3]
+    assert all(r.cosine is not None for r in out)
+
+    pairs = embedding_near_dup(emb, threshold=0.9, n_bits=8, dim=4).collect()
+    assert pairs and all(r.a < 100 and r.b < 100 for r in pairs)
+
+
 def test_p9_prioritized_field_cap(spark):
     """Keyword-matched fields rank first; the cap drops trailing
     unmatched fields, so a needle present only there does not match
