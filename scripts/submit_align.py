@@ -21,7 +21,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# plain `python scripts/submit_align.py` puts scripts/ (not the repo
+# root) on sys.path; spark-submit --py-files ships the package zip, but
+# the local/debug invocation needs the repo root like bench.py does
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv: list[str] | None = None) -> int:
