@@ -270,7 +270,16 @@ def main():
                     + " | ".join(tail)
                 )
                 return None
-            return json.loads(lines[-1])
+            try:
+                return json.loads(lines[-1])
+            except json.JSONDecodeError:
+                # OOM-killed mid-print / stray '{'-prefixed log line:
+                # degrade to a marked missing sample, same as the
+                # timeout and no-json branches
+                scale_errors.append(
+                    f"local[{c}]: rc={out.returncode} malformed json tail"
+                )
+                return None
 
         lo = max(CPUS // 8, 1)
         hi = max(CPUS // 2, 2)

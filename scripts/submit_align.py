@@ -26,8 +26,17 @@ import sys
 
 # plain `python scripts/submit_align.py` puts scripts/ (not the repo
 # root) on sys.path; spark-submit --py-files ships the package zip, but
-# the local/debug invocation needs the repo root like bench.py does
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# the local/debug invocation needs the repo root like bench.py does.
+# Guarded: when the package already resolves (the --py-files zip), the
+# shipped version must keep precedence — unconditionally prepending the
+# working tree would let an edited checkout silently skew against the
+# zip the executors import from.
+try:
+    import brdrq_spark  # noqa: F401
+except ModuleNotFoundError:
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -388,11 +388,21 @@ def test_null_embeddings_excluded_from_bucketing(spark):
         emb, emb.where("vec_id = 0"), k=30, n_bits=8, dim=4,
         multi_probe=False, max_bucket_size=4,
     ).collect()
-    # cap of 4 admits real ids 1..3 (0 is the query) — NULL rows neither
-    # consume the cap nor appear as candidates
+    # NULL rows never appear as candidates or emit null-cosine rows
     assert sorted(r.c_id for r in out) == [1, 2, 3]
     assert all(r.cosine is not None for r in out)
 
+    # the assertion that BITES without the filter: a NULL-vector QUERY
+    # hashes to signature 0 un-filtered, joins the NULL corpus rows in
+    # bucket 0, and row_number ranks their null cosines into the top-k
+    # — with the filter the null query produces exactly nothing
+    null_q = knn_join_bucketed(
+        emb, emb.where("vec_id = 100"), k=30, n_bits=8, dim=4,
+        multi_probe=False, max_bucket_size=50,
+    ).collect()
+    assert null_q == []
+
+    # near-dup smoke: output unpolluted by the null block
     pairs = embedding_near_dup(emb, threshold=0.9, n_bits=8, dim=4).collect()
     assert pairs and all(r.a < 100 and r.b < 100 for r in pairs)
 
