@@ -1424,6 +1424,92 @@ def q_align_dossier_network(spark, sf_dir):
     )
 
 
+def q_network_closed_form(spark, sf_dir):
+    """A2 NetworkGeometryProcessor ORACLE-CHECKED on a shared-edge grid
+    closed form (reference behavior: dossier features aligned with the
+    NetworkGeometryProcessor keep common borders common,
+    plugin/brdrq/test/test_autocorrectborders.py:408-463). Fixture: an
+    8x5 grid of themes tiling the plane with EXACTLY shared edges at
+    X_i = 10*i + (0.08*i - 0.3), Y_j = 10*j + (0.06*j - 0.2), over a
+    9x6 grid of exact 10x10 reference parcels. At rd=2 every densified
+    vertex snaps — corners PREFER_VERTICES onto parcel-grid corners,
+    in-fill NO_PREFERENCE onto the nearest grid line — so each theme
+    lands EXACTLY on its parcel: area 100.0 and result bbox
+    (10i, 10j, 10i+10, 10j+10); adjacent outputs therefore still share
+    their border (maxx of (i,j) == minx of (i+1,j) == 10(i+1), the
+    network property, oracle-checked numerically). n_vertices =
+    2*ceil(10.08/2) + 2*ceil(10.06/2) = 24, all snapped; max_move is
+    the worst corner move sqrt(max(dxi², dxi1²) + max(dyj², dyj1²));
+    nr_references mirrors the candidate plan exactly — the J2 bbox-gap
+    refine (gap <= 2*rd = 4.0, align.py) is strictly finer than the
+    res-10 (32 m) cell join at dilation 4.04, so the candidate set is
+    precisely the parcels whose bbox gap to the theme bbox is <= 4.0."""
+    import numpy as np
+    import pandas as pd
+
+    from brdrq_spark.functions.geo import geo_features_udf
+    from brdrq_spark.geom import rings_to_wkb
+    from brdrq_spark.operators.network import align_network
+
+    xs = [10.0 * i + (0.08 * i - 0.3) for i in range(9)]
+    ys = [10.0 * j + (0.06 * j - 0.2) for j in range(6)]
+    themes = [
+        {
+            "theme_id": f"t_{i}_{j}",
+            "geom_wkb": rings_to_wkb(
+                [
+                    np.array(
+                        [
+                            [xs[i], ys[j]],
+                            [xs[i + 1], ys[j]],
+                            [xs[i + 1], ys[j + 1]],
+                            [xs[i], ys[j + 1]],
+                        ]
+                    )
+                ]
+            ),
+        }
+        for i in range(8)
+        for j in range(5)
+    ]
+    refs = [
+        {
+            "ref_id": f"g_{a}_{b}",
+            "geom_wkb": rings_to_wkb(
+                [
+                    np.array(
+                        [
+                            [10.0 * a, 10.0 * b],
+                            [10.0 * a + 10.0, 10.0 * b],
+                            [10.0 * a + 10.0, 10.0 * b + 10.0],
+                            [10.0 * a, 10.0 * b + 10.0],
+                        ]
+                    )
+                ]
+            ),
+        }
+        for a in range(9)
+        for b in range(6)
+    ]
+    th = spark.createDataFrame(pd.DataFrame(themes))
+    ref = spark.createDataFrame(pd.DataFrame(refs))
+    out = align_network(spark, th, ref, relevant_distance=2.0, broadcast_ref=True)
+    out = out.withColumn("f", geo_features_udf(10)(F.col("result_wkb")))
+    return out.select(
+        "theme_id",
+        "brdr_relevant_distance",
+        F.round("brdr_area", 2).alias("brdr_area"),
+        "n_vertices",
+        "n_snapped",
+        F.round("max_move", 3).alias("max_move"),
+        "brdr_nr_references",
+        F.round("f.minx", 2).alias("minx"),
+        F.round("f.miny", 2).alias("miny"),
+        F.round("f.maxx", 2).alias("maxx"),
+        F.round("f.maxy", 2).alias("maxy"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational / window / agg shapes (SURVEY.md §2 mapping in name)
@@ -1470,7 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "align_reference_fixture": q_align_reference_fixture,
         "align_lines_snap": q_align_lines_snap,
         "align_od_snap": q_align_od_snap,
-        "align_dossier_network": q_align_dossier_network,
+        "network_closed_form": q_network_closed_form,
         "footprint_extraction": q_footprint_extraction,
         "evaluate_prediction_sweep": q_evaluate_prediction_sweep,
         "classify_correction": q_classify_correction,
@@ -1930,6 +2016,46 @@ def oracle_sql() -> dict[str, str]:
                    AS sym_diff_perc,
                  CASE WHEN i = 0 THEN 4 ELSE 6 END AS brdr_nr_references
           FROM s
+        """,
+        "network_closed_form": """
+          -- shared-edge grid closed form: every theme snaps exactly onto
+          -- its 10x10 parcel (area 100, bbox on the 10 m grid — adjacent
+          -- rows share their border coordinate); 24 densified vertices
+          -- all snap; max_move is the worst corner move; nr_references
+          -- mirrors the J2 bbox-gap refine (gap <= 2*rd = 4.0), which is
+          -- strictly finer than the 32 m cell join it follows
+          WITH t AS (
+            SELECT i, j,
+                   10.0::DOUBLE*i + (0.08::DOUBLE*i - 0.3::DOUBLE)             AS tx0,
+                   10.0::DOUBLE*(i+1) + (0.08::DOUBLE*(i+1) - 0.3::DOUBLE)     AS tx1,
+                   10.0::DOUBLE*j + (0.06::DOUBLE*j - 0.2::DOUBLE)             AS ty0,
+                   10.0::DOUBLE*(j+1) + (0.06::DOUBLE*(j+1) - 0.2::DOUBLE)     AS ty1
+            FROM range(8) ri(i), range(5) rj(j)
+          ),
+          nr AS (
+            SELECT t.i, t.j, count(*)::INT AS nr
+            FROM t, (SELECT a, b FROM range(9) ra(a), range(6) rb(b)) p
+            WHERE sqrt(
+                    pow(greatest(tx0 - (10.0::DOUBLE*a + 10.0::DOUBLE), 10.0::DOUBLE*a - tx1, 0.0), 2)
+                  + pow(greatest(ty0 - (10.0::DOUBLE*b + 10.0::DOUBLE), 10.0::DOUBLE*b - ty1, 0.0), 2)
+                  ) <= 4.0
+            GROUP BY t.i, t.j
+          )
+          SELECT 't_' || t.i || '_' || t.j AS theme_id,
+                 2.0::DOUBLE   AS brdr_relevant_distance,
+                 100.0::DOUBLE AS brdr_area,
+                 24 AS n_vertices,
+                 24 AS n_snapped,
+                 round(sqrt(
+                     greatest(pow(tx0 - 10.0::DOUBLE*t.i, 2), pow(tx1 - 10.0::DOUBLE*(t.i+1), 2))
+                   + greatest(pow(ty0 - 10.0::DOUBLE*t.j, 2), pow(ty1 - 10.0::DOUBLE*(t.j+1), 2))
+                 ), 3) AS max_move,
+                 nr.nr AS brdr_nr_references,
+                 round(10.0::DOUBLE*t.i, 2)        AS minx,
+                 round(10.0::DOUBLE*t.j, 2)        AS miny,
+                 round(10.0::DOUBLE*t.i + 10.0::DOUBLE, 2) AS maxx,
+                 round(10.0::DOUBLE*t.j + 10.0::DOUBLE, 2) AS maxy
+          FROM t JOIN nr ON t.i = nr.i AND t.j = nr.j
         """,
         "align_topology": """
           -- every theme snaps exactly onto its parcel; each square has 4

@@ -129,8 +129,19 @@ def cells_exploded(
                 for c in extra_cols:
                     ex_vals[c].append(getattr(r, c))
 
+            # outer rows are built with EXPLICIT object dtype: concat of a
+            # float64 body column with an all-None column relies on
+            # deprecated pandas promotion rules (FutureWarning today, dtype
+            # change later); object + None converts to typed Arrow nulls
+            # deterministically on every pandas version
+            def _outer_pdf():
+                return pd.DataFrame(
+                    {n: pd.Series(outer_buf[n], dtype=object) for n in names},
+                    columns=names,
+                )
+
             if not ids:
-                yield pd.DataFrame(outer_buf, columns=names)
+                yield _outer_pdf()
                 continue
 
             # phase 2 — one vectorized cover + assembly for the batch
@@ -170,10 +181,7 @@ def cells_exploded(
                 out[c] = np.repeat(np.asarray(ex_vals[c], dtype=object), counts)
             body = pd.DataFrame(out, columns=names)
             if outer_buf[id_col]:
-                body = pd.concat(
-                    [body, pd.DataFrame(outer_buf, columns=names)],
-                    ignore_index=True,
-                )
+                body = pd.concat([body, _outer_pdf()], ignore_index=True)
             yield body
 
     cols = [id_col, "geom_wkb", *extra_cols]

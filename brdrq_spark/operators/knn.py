@@ -6,9 +6,11 @@ boundary segments. Execution shape: the cell-join candidate pairs bound
 the search (a vertex's nearest segments lie on candidate parcels within
 the dilated cover by construction), then a grouped pandas kernel does
 the exact vectorized point-segment distances — a per-partition index
-without any cross-partition traffic. Vertices with no candidates within
-the radius report rank 0 rows (caller can widen rd and retry — the
-expanding-ring pattern).
+without any cross-partition traffic. Vertices with no candidate segment
+within the radius are ABSENT from the output (no rank-0 placeholder
+rows): a caller implementing the expanding-ring retry should anti-join
+the output back against the vertex set to find the uncovered vertices,
+then rerun those with a wider rd.
 
 Skew ceiling removed (round-4): grouping by theme_id alone lets one
 giant theme in a dense area gather ALL its candidate segments into a

@@ -113,19 +113,47 @@ def _feature_to_row(f: dict, i: int, id_field: str | None) -> dict:
 SPLIT_SIZE_BYTES = 64 << 20  # auto-split threshold for a single file
 
 
-def _auto_split(path: str) -> bool:
-    """Pick the read shape from the input layout: a SINGLE local file
-    bigger than SPLIT_SIZE_BYTES wants the feature-split pipeline
-    (per-file parallelism is zero); many files or small files keep the
-    single-pass shape (the shuffle + double json parse would cost more
-    than it buys). Unresolvable paths (remote URIs, odd globs) default
-    to split — the scale-safe choice when nothing is known."""
+def _auto_split(path: str, spark: SparkSession | None = None) -> bool:
+    """Pick the read shape from the input layout: a SINGLE file bigger
+    than SPLIT_SIZE_BYTES wants the feature-split pipeline (per-file
+    parallelism is zero); many files or small files keep the single-pass
+    shape (the shuffle + double json parse would cost more than it
+    buys). Scheme'd URIs (s3://, hdfs://, file://...) are probed through
+    the Hadoop FileSystem API when a session is available — a directory
+    of many small remote files keeps the cheaper single-pass shape
+    instead of paying the split shuffle. Unresolvable paths (no session,
+    unreachable filesystem, odd globs) default to split — the scale-safe
+    choice when nothing is known."""
     import glob as _glob
     import os as _os
 
-    p = path[7:] if path.startswith("file://") else path
-    if "://" in p:
-        return True
+    if "://" in path:
+        if spark is None:
+            return True
+        try:
+            jvm = spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            statuses = fs.globStatus(hpath)
+            if statuses is None or len(statuses) == 0:
+                return True
+            files = []
+            for st in statuses:
+                if st.isDirectory():
+                    files += [
+                        sub
+                        for sub in fs.listStatus(st.getPath())
+                        if sub.isFile()
+                        and not sub.getPath().getName().startswith((".", "_"))
+                    ]
+                elif st.isFile():
+                    files.append(st)
+            if not files:
+                return True
+            return len(files) == 1 and files[0].getLen() > SPLIT_SIZE_BYTES
+        except Exception:
+            return True
+    p = path
     matches = _glob.glob(p) if any(c in p for c in "*?[") else [p]
     files: list[str] = []
     for m in matches:
@@ -167,7 +195,7 @@ def read_geojson(
     ``_auto_split``: split only for one big (>64 MB) or unresolvable
     input."""
     if split_features is None:
-        split_features = _auto_split(path)
+        split_features = _auto_split(path, spark)
     files = spark.read.text(path, wholetext=True)
 
     if not split_features:

@@ -236,3 +236,21 @@ def test_topology_processor_dispatch(spark):
         broadcast_ref=True,
     ).collect()
     assert len(out) == 1 and abs(out[0].brdr_area - 100.0) < 1e-9
+
+
+def test_dossier_network_fixture(spark):
+    """The reference's own dossier GeoJSON through the network processor
+    (plugin/brdrq/test/test_autocorrectborders.py:420-463 scenario, rd=10
+    over a deterministic synthetic parcel grid). Was a queries() entry
+    through round 4; the oracle slot went to network_closed_form, so the
+    S1-scan + real-geometry path is pinned here instead."""
+    import __spark_entry__ as em
+
+    rows = em.q_align_dossier_network(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert r.brdr_relevant_distance == 10.0
+        assert r.n_snapped > 0 and r.n_snapped <= r.n_vertices
+        assert 0.0 < r.max_move <= 10.0
+        assert r.brdr_nr_references >= 1
+        assert r.brdr_area > 0.0

@@ -99,6 +99,15 @@ def test_geojson_split_features_matches_single_pass(spark, tmp_path):
     assert _auto_split("s3://bucket/layer.geojson") is True
     assert _auto_split(str(tmp_path / "*.geojson")) is False  # 2 files
 
+    # scheme'd URIs probe through the Hadoop FS API when a session is
+    # available: a directory of many small files keeps single-pass, one
+    # big file still splits, unreachable filesystems fall back to split
+    assert _auto_split(f"file://{tmp_path}", spark) is False  # 2 files
+    assert _auto_split(f"file://{big}", spark) is True
+    assert _auto_split(f"file://{p}", spark) is False
+    assert _auto_split(f"file://{tmp_path}/nope-*.geojson", spark) is True
+    assert _auto_split("s3://bucket/layer.geojson", spark) is True
+
 
 def test_streaming_windowed_counts_matches_batch(spark, tmp_path):
     # static events → batch result
