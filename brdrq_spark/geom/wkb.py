@@ -92,6 +92,159 @@ def rings_from_wkb(wkb: bytes | None) -> list[np.ndarray]:
     return rings
 
 
+_NDIM_BY_Z = np.array([2, 3, 3, 4], dtype=np.int64)  # gtype//1000 -> ndim
+
+
+def polygon_bboxes_batch(wkbs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized bbox decode of a whole batch of WKB (Multi)Polygons —
+    numpy offset arithmetic over the concatenated buffers instead of a
+    per-row header walk (measured ~25x on a 4096-parcel Arrow batch).
+
+    Returns ``(bbox (n,4) float64, n_valid_rings (n,) int64,
+    fallback (n,) bool)``. Rows flagged ``fallback`` (big-endian,
+    non-polygon types, nested multis, truncated/garbage buffers) must be
+    re-decoded by the caller through :func:`rings_from_wkb` so exotic
+    inputs keep the exact per-row semantics (including raising on
+    corrupt WKB). For handled rows the result is BIT-IDENTICAL to
+    ``bbox(rings_from_wkb(w))``: coordinates snap to the ``SNAP`` grid
+    first, and rings that collapse below 3 distinct vertices after
+    dedup (with the closing-duplicate drop) are excluded; ``n_valid``
+    0 with no fallback means an empty/degenerate geometry (the caller's
+    explode_outer case). Handles LE POLYGON/MULTIPOLYGON incl. Z/M/ZM
+    (extra ordinates ignored, as the per-row decoder does).
+
+    The walk is iteration-vectorized: each pass of the polygon/ring
+    loops advances EVERY row's cursor at once, so the Python-level
+    iteration count is max(npolys)*max(nrings) (1-2 for parcel data),
+    not the row count."""
+    from brdrq_spark.geom.core import SNAP, _INV_SNAP
+
+    n = len(wkbs)
+    bbox_out = np.full((n, 4), np.nan)
+    nvalid = np.zeros(n, dtype=np.int64)
+    fallback = np.zeros(n, dtype=bool)
+    bufs = [bytes(w) if w is not None else b"" for w in wkbs]
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
+    nonempty = lens >= 9
+    fallback |= (lens > 0) & (lens < 9)
+    if not nonempty.any():
+        return bbox_out, nvalid, fallback
+    u8 = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    ends = starts + lens
+
+    def u32_at(off):
+        return (
+            u8[off].astype(np.int64)
+            | (u8[off + 1].astype(np.int64) << 8)
+            | (u8[off + 2].astype(np.int64) << 16)
+            | (u8[off + 3].astype(np.int64) << 24)
+        )
+
+    rows = np.nonzero(nonempty)[0]
+    gtype = u32_at(starts[rows] + 1)
+    base, zdim = gtype % 1000, gtype // 1000
+    ok = (u8[starts[rows]] == 1) & np.isin(base, (3, 6)) & (zdim <= 3)
+    fallback[rows[~ok]] = True
+    rows, base = rows[ok], base[ok]
+    is_multi = base == _WKB_MULTIPOLYGON
+    cur = starts[rows].copy()
+    npolys = np.ones(len(rows), dtype=np.int64)
+    mp = np.nonzero(is_multi)[0]
+    if len(mp):
+        npolys[mp] = u32_at(cur[mp] + 5)
+        cur[mp] += 9
+    # accumulate (row, coord_start, npts, ndim) ring records
+    rec_row, rec_start, rec_npts, rec_ndim = [], [], [], []
+    bad = np.zeros(len(rows), dtype=bool)
+    polys_left = npolys.copy()
+    active = polys_left > 0
+    while active.any():
+        a = np.nonzero(active)[0]
+        c = cur[a]
+        hdr_ok = (c + 9 <= ends[rows[a]]) & (u8[c] == 1)
+        ptype = u32_at(np.where(hdr_ok, c, 0) + 1)
+        pz = ptype // 1000
+        hdr_ok &= (ptype % 1000 == _WKB_POLYGON) & (pz <= 3)
+        bad[a[~hdr_ok]] = True
+        active[a[~hdr_ok]] = False
+        a, c = a[hdr_ok], c[hdr_ok]
+        if not len(a):
+            break
+        pnd = _NDIM_BY_Z[pz[hdr_ok]]
+        rc = c + 9
+        rings_left = u32_at(c + 5)
+        ract = rings_left > 0
+        while ract.any():
+            ra = np.nonzero(ract)[0]
+            rr = rc[ra]
+            ok2 = rr + 4 <= ends[rows[a[ra]]]
+            npts = np.where(ok2, u32_at(np.where(ok2, rr, 0)), 0)
+            ok2 &= rr + 4 + npts * 8 * pnd[ra] <= ends[rows[a[ra]]]
+            bad[a[ra[~ok2]]] = True
+            ract[ra[~ok2]] = False
+            ra = ra[ok2]
+            if not len(ra):
+                break
+            npts = npts[ok2]
+            rec_row.append(a[ra])
+            rec_start.append(rc[ra] + 4)
+            rec_npts.append(npts)
+            rec_ndim.append(pnd[ra])
+            rc[ra] += 4 + npts * 8 * pnd[ra]
+            rings_left[ra] -= 1
+            ract[ra] &= rings_left[ra] > 0
+        cur[a] = rc
+        polys_left[a] -= 1
+        active[a] = polys_left[a] > 0
+    fallback[rows[bad]] = True
+    if not rec_row:
+        return bbox_out, nvalid, fallback
+    r_row = np.concatenate(rec_row)
+    r_start = np.concatenate(rec_start)
+    r_npts = np.concatenate(rec_npts)
+    r_ndim = np.concatenate(rec_ndim)
+    keep = (~bad[r_row]) & (r_npts > 0)
+    r_row, r_start = r_row[keep], r_start[keep]
+    r_npts, r_ndim = r_npts[keep], r_ndim[keep]
+    out_min = np.full((len(rows), 2), np.inf)
+    out_max = np.full((len(rows), 2), -np.inf)
+    out_cnt = np.zeros(len(rows), dtype=np.int64)
+    for nd in np.unique(r_ndim):
+        g = r_ndim == nd
+        gs, gn, gr = r_start[g], r_npts[g], r_row[g]
+        nbytes = gn * 8 * nd
+        st = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+        idx = np.repeat(gs - st, nbytes) + np.arange(
+            int(nbytes.sum()), dtype=np.int64
+        )
+        pts = u8[idx].view("<f8").reshape(-1, int(nd))[:, :2]
+        pts = np.round(pts * _INV_SNAP) * SNAP
+        pstart = np.concatenate(([0], np.cumsum(gn)[:-1]))
+        rmin = np.minimum.reduceat(pts, pstart)
+        rmax = np.maximum.reduceat(pts, pstart)
+        # ring survives iff >= 3 distinct consecutive vertices after the
+        # closing-duplicate drop — mirrors snap_ring + the < 3 skip
+        neq = np.empty(len(pts), dtype=bool)
+        neq[0] = True
+        neq[1:] = (pts[1:] != pts[:-1]).any(axis=1)
+        neq[pstart] = True
+        distinct = np.add.reduceat(neq.astype(np.int64), pstart)
+        closed = (pts[pstart] == pts[pstart + gn - 1]).all(axis=1) & (
+            distinct > 1
+        )
+        rv = (distinct - closed.astype(np.int64)) >= 3
+        if rv.any():
+            np.minimum.at(out_min, gr[rv], rmin[rv])
+            np.maximum.at(out_max, gr[rv], rmax[rv])
+            np.add.at(out_cnt, gr[rv], 1)
+    hasr = (out_cnt > 0) & ~bad
+    bbox_out[rows[hasr], :2] = out_min[hasr]
+    bbox_out[rows[hasr], 2:] = out_max[hasr]
+    nvalid[rows[hasr]] = out_cnt[hasr]
+    return bbox_out, nvalid, fallback
+
+
 def lines_from_wkb(wkb: bytes | None) -> list[np.ndarray]:
     """Decode WKB (Multi)LineString/(Multi)Point to (n, 2) polylines
     (points come back as 1-vertex polylines). Z/M dropped — the

@@ -80,6 +80,7 @@ def cells_exploded(
 
     from brdrq_spark.geom import bbox as _bbox
     from brdrq_spark.geom import rings_from_wkb
+    from brdrq_spark.geom.wkb import polygon_bboxes_batch
     from brdrq_spark.grid import cell_id, cover_ranges
 
     extra_cols = list(extra_cols or [])
@@ -101,33 +102,25 @@ def cells_exploded(
 
     def gen(batches):
         for pdf in batches:
-            # phase 1 — per-row decode (bit-identical bbox semantics:
-            # snapped rings, degenerate rings dropped, empty -> outer)
-            ids: list = []
-            wkbs: list = []
-            bbs: list[tuple] = []
-            ex_vals: dict[str, list] = {c: [] for c in extra_cols}
-            outer_buf: dict[str, list] = {n: [] for n in names}
-            for r in pdf.itertuples(index=False):
-                wkb = r.geom_wkb
-                rings = rings_from_wkb(wkb) if wkb is not None else []
-                if not rings:
-                    if outer:
-                        outer_buf[id_col].append(getattr(r, id_col))
-                        if wkb_out:
-                            outer_buf[wkb_out].append(wkb)
-                        for k in (f"{prefix}_minx", f"{prefix}_miny",
-                                  f"{prefix}_maxx", f"{prefix}_maxy"):
-                            outer_buf[k].append(None)
-                        outer_buf["cell"].append(None)
-                        for c in extra_cols:
-                            outer_buf[c].append(getattr(r, c))
-                    continue
-                ids.append(getattr(r, id_col))
-                wkbs.append(wkb)
-                bbs.append(_bbox(rings))
-                for c in extra_cols:
-                    ex_vals[c].append(getattr(r, c))
+            # phase 1 — VECTORIZED batch decode (geom.wkb
+            # polygon_bboxes_batch: one numpy offset walk over the
+            # concatenated buffers, ~25x the per-row header walk). Rows
+            # the fast path cannot handle (big-endian, nested multis,
+            # corrupt buffers) re-decode through rings_from_wkb so the
+            # bbox semantics stay bit-identical: snapped rings,
+            # degenerate rings dropped, empty -> outer, corrupt raises.
+            wkb_list = pdf["geom_wkb"].tolist()
+            bb, nvalid, fb = polygon_bboxes_batch(wkb_list)
+            for k in np.nonzero(fb)[0]:
+                rings = rings_from_wkb(wkb_list[k])
+                if rings:
+                    bb[k] = _bbox(rings)
+                    nvalid[k] = len(rings)
+            has = nvalid > 0
+            ids_all = pdf[id_col].to_numpy(dtype=object)
+            wkb_all = np.empty(len(pdf), dtype=object)
+            wkb_all[:] = wkb_list
+            ex_all = {c: pdf[c].to_numpy(dtype=object) for c in extra_cols}
 
             # outer rows are built with EXPLICIT object dtype: concat of a
             # float64 body column with an all-None column relies on
@@ -135,19 +128,32 @@ def cells_exploded(
             # change later); object + None converts to typed Arrow nulls
             # deterministically on every pandas version
             def _outer_pdf():
-                return pd.DataFrame(
-                    {n: pd.Series(outer_buf[n], dtype=object) for n in names},
+                miss = ~has
+                n_miss = int(miss.sum())
+                data = {id_col: pd.Series(list(ids_all[miss]), dtype=object)}
+                if wkb_out:
+                    data[wkb_out] = pd.Series(list(wkb_all[miss]), dtype=object)
+                for k in (f"{prefix}_minx", f"{prefix}_miny",
+                          f"{prefix}_maxx", f"{prefix}_maxy", "cell"):
+                    data[k] = pd.Series([None] * n_miss, dtype=object)
+                for c in extra_cols:
+                    data[c] = pd.Series(list(ex_all[c][miss]), dtype=object)
+                return pd.DataFrame(data, columns=names)
+
+            if not has.any():
+                yield _outer_pdf() if outer else pd.DataFrame(
+                    {n: pd.Series([], dtype=object) for n in names},
                     columns=names,
                 )
-
-            if not ids:
-                yield _outer_pdf()
                 continue
+            ids = ids_all[has]
+            wkbs = wkb_all[has]
+            ex_vals = {c: ex_all[c][has] for c in extra_cols}
 
             # phase 2 — one vectorized cover + assembly for the batch
             # (cover arithmetic lives in grid.cover_ranges, shared with
             # the scalar cell_cover_bbox so both join sides agree)
-            bb = np.asarray(bbs, dtype=np.float64)
+            bb = bb[has]
             ix0, iy0, nx, ny = cover_ranges(
                 bb[:, 0], bb[:, 1], bb[:, 2], bb[:, 3], res, dilate
             )
@@ -180,7 +186,7 @@ def cells_exploded(
             for c in extra_cols:
                 out[c] = np.repeat(np.asarray(ex_vals[c], dtype=object), counts)
             body = pd.DataFrame(out, columns=names)
-            if outer_buf[id_col]:
+            if outer and not has.all():
                 body = pd.concat([body, _outer_pdf()], ignore_index=True)
             yield body
 

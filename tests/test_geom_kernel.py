@@ -290,3 +290,71 @@ def test_split_parts_concave_hole_centroid_outside():
         assert net > 0  # no part carries a foreign hole
     u_part = next(p for p in parts if len(p) == 2)
     assert ring_area(u_part[0]) > 0 and ring_area(u_part[1]) < 0
+
+
+def test_polygon_bboxes_batch_equivalence():
+    """The vectorized batch bbox decoder is bit-identical to the per-row
+    path on synthetic parcels/themes and routes every exotic shape it
+    cannot handle to fallback."""
+    import struct
+
+    import numpy as np
+
+    from brdrq_spark.geom import bbox as _bbox
+    from brdrq_spark.geom.wkb import (
+        lines_to_wkb,
+        polygon_bboxes_batch,
+        rings_from_wkb,
+        rings_to_wkb,
+    )
+    from brdrq_spark.sources.synthetic import reference_parcels, thematic_polygons
+
+    wkbs = list(reference_parcels(8, 8, seed=7).geom_wkb) + list(
+        thematic_polygons(64, 8, 8, seed=7, jitter=1.0).geom_wkb
+    )
+    bb, nv, fb = polygon_bboxes_batch(wkbs)
+    assert not fb.any()
+    for k, w in enumerate(wkbs):
+        assert tuple(bb[k]) == _bbox(rings_from_wkb(w))
+        assert nv[k] == len(rings_from_wkb(w))
+
+    def raw_poly(rings, gt=3):
+        parts = [struct.pack("<BII", 1, gt, len(rings))]
+        for r in rings:
+            parts.append(struct.pack("<I", len(r)))
+            parts.append(np.asarray(r, dtype=np.float64).astype("<f8").tobytes())
+        return b"".join(parts)
+
+    sq = [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]]
+    hole = [[2, 2], [2, 4], [4, 4], [4, 2], [2, 2]]
+    deg = [[1, 1], [1, 1], [1, 1]]
+    zsq = [[0, 0, 7], [10, 0, 7], [10, 10, 7], [0, 10, 7], [0, 0, 7]]
+    cases = [
+        rings_to_wkb([np.array(sq[:-1], float)]),      # canonical multi
+        raw_poly([sq, hole]),                          # polygon + hole
+        raw_poly([deg]),                               # all-degenerate
+        raw_poly([deg, sq]),                           # mixed
+        struct.pack("<BII", 1, 6, 0),                  # empty multipolygon
+        struct.pack("<BII", 1, 1003, 1)                # Z polygon
+        + struct.pack("<I", 5)
+        + np.asarray(zsq, float).astype("<f8").tobytes(),
+        None,
+        b"",
+    ]
+    bb, nv, fb = polygon_bboxes_batch(cases)
+    assert not fb.any()
+    assert list(nv) == [1, 2, 0, 1, 0, 1, 0, 0]
+    for k in (0, 1, 3, 5):
+        assert tuple(bb[k]) == _bbox(rings_from_wkb(cases[k]))
+
+    # exotic shapes -> fallback, never silent garbage
+    exotic = [
+        struct.pack(">BII", 0, 3, 1)                  # big-endian
+        + struct.pack(">I", 5)
+        + np.asarray(sq, float).astype(">f8").tobytes(),
+        lines_to_wkb([np.array(sq, float)]),          # linestring
+        raw_poly([sq])[:30],                          # truncated
+        struct.pack("<BII", 1, 99, 1),                # unknown type
+    ]
+    _, _, fb = polygon_bboxes_batch(exotic)
+    assert fb.all()
