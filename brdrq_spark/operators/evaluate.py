@@ -236,12 +236,12 @@ def evaluate(
     ``brdr_evaluation = 'blocked_by_area'`` (the reference blocks them
     loudly and points at the bulk path — silent disappearance would
     break any consumer joining results back to the input), and the
-    grid step is derived from the largest admitted theme's area plus
-    ``max_rd`` — the coarsest step any admitted theme would get, so one
-    global grid serves the whole sweep (per-theme grids would forfeit
-    the single fused align pass). Note auto_step launches one small
-    Spark job at call time (the area probe's single-scalar max, like
-    the CRS-extent probe in functions/crs.py), and the admission filter
+    grid step is the reference's PER-FEATURE resolution of the policy
+    chain: themes bucket by area (at most two buckets for a given
+    ``max_rd``, since the rd branch overwrites the area branch) and one
+    fused sweep runs per bucket, all branches of the same DAG — a small
+    theme co-swept with a big one keeps the 10 cm step the reference
+    would give it. No driver-side probe job runs; the admission filter
     rides lineage — downstream passes re-run the map-only Arrow area
     decode rather than pinning a persisted copy of the theme table in
     executor memory (one extra decode per pass is cheap next to a
@@ -250,6 +250,8 @@ def evaluate(
     cfg = config or AlignConfig()
     blocked = None
     if auto_step:
+        from dataclasses import replace as _dc_replace
+
         from brdrq_spark.functions.geo import area_udf
 
         with_area = theme_df.withColumn("_o5_area", area_udf()(F.col("geom_wkb")))
@@ -257,12 +259,45 @@ def evaluate(
         blocked = with_area.where(F.col("_o5_area") > F.lit(MAX_AREA_LIMIT)).select(
             "theme_id"
         )
-        row = admitted.agg(F.max("_o5_area").alias("mx")).first()
-        max_area = float(row["mx"]) if row and row["mx"] is not None else 0.0
-        step, _blocked_flag = adaptive_grid(max_area, max_rd)
         theme_df = admitted.drop("_o5_area")
-    cfg.relevant_distances = distance_grid(max_rd, step)
-    aligned = align(spark, theme_df, ref_df, cfg, broadcast_ref=broadcast_ref)
+        # PER-FEATURE grid step, exactly as the reference's chain
+        # resolves it per feature (featurealigner.py:1277-1299). The rd
+        # branch overwrites the area branch, so for a given max_rd at
+        # most TWO steps coexist (10 cm / 50 cm when max_rd <= 7.5 m; a
+        # single step above): one fused sweep runs per area bucket —
+        # both branches of the same DAG, one Spark job — so a small
+        # theme co-swept with a big one keeps its fine step instead of
+        # inheriting a coarse global one, and no driver-side area-probe
+        # job runs at call time.
+        step_fine, _ = adaptive_grid(0.0, max_rd)
+        step_coarse, _ = adaptive_grid(MAX_AREA_OPTIMIZATION + 1.0, max_rd)
+        if step_fine == step_coarse:
+            buckets = [(step_fine, theme_df)]
+        else:
+            buckets = [
+                (
+                    step_fine,
+                    admitted.where(
+                        F.col("_o5_area") <= F.lit(MAX_AREA_OPTIMIZATION)
+                    ).drop("_o5_area"),
+                ),
+                (
+                    step_coarse,
+                    admitted.where(
+                        F.col("_o5_area") > F.lit(MAX_AREA_OPTIMIZATION)
+                    ).drop("_o5_area"),
+                ),
+            ]
+        aligned = None
+        for bstep, bdf in buckets:
+            bcfg = _dc_replace(
+                cfg, relevant_distances=distance_grid(max_rd, bstep)
+            )
+            part = align(spark, bdf, ref_df, bcfg, broadcast_ref=broadcast_ref)
+            aligned = part if aligned is None else aligned.unionByName(part)
+    else:
+        cfg.relevant_distances = distance_grid(max_rd, step)
+        aligned = align(spark, theme_df, ref_df, cfg, broadcast_ref=broadcast_ref)
     scored = add_stability(aligned, eps=eps, min_stable=min_stable)
 
     preds = scored.filter(F.col("is_prediction"))

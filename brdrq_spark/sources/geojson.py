@@ -204,6 +204,8 @@ def read_geojson(
             for pdf in it:
                 rows = []
                 for txt in pdf["value"]:
+                    if not txt or not txt.strip():
+                        continue  # empty part file (empty partition)
                     fc = json.loads(txt)
                     for i, f in enumerate(fc.get("features", [])):
                         rows.append(_feature_to_row(f, i, id_field))
@@ -218,6 +220,8 @@ def read_geojson(
     def split(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             for txt in pdf["value"]:
+                if not txt or not txt.strip():
+                    continue  # empty part file (empty partition)
                 fc = json.loads(txt)
                 feats = fc.get("features", [])
                 for lo in range(0, len(feats), chunk):
@@ -291,3 +295,94 @@ def write_geojson(
         )
     with open(path, "w") as f:
         json.dump({"type": "FeatureCollection", "features": feats}, f)
+
+
+def write_geojson_parts(
+    spark: SparkSession, df: DataFrame, path: str, geom_col: str = "geom_wkb"
+) -> dict:
+    """Distributed GeoJSON export: ONE FeatureCollection file per
+    partition under ``path`` plus an ``_index.json`` manifest (part ids,
+    per-part feature counts, totals).
+
+    ``write_geojson`` hard-caps at 100k rows because a FeatureCollection
+    is a single JSON object, inherently one writer; this sink keeps the
+    interop format but shards it — every task serializes its own
+    partition into one FeatureCollection (with ``part_id``/``n_features``
+    foreign members, which the GeoJSON spec allows) and the files land
+    through Spark's text writer, so any Hadoop filesystem works and the
+    write runs with full parallelism. Each output file holds one whole
+    partition: repartition upstream to size the shards. The index is
+    written through the Hadoop FS API (object stores included) and is
+    ``_``-prefixed so ``read_geojson`` on the directory skips it — a
+    round-trip through ``read_geojson(path)`` returns every feature.
+    Returns the index dict."""
+    import uuid as _uuid
+
+    from pyspark import StorageLevel
+
+    gj_df = df.withColumn("_gj", wkb_to_geojson_udf(F.col(geom_col)))
+
+    def to_fc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def clean(v):
+            if isinstance(v, (bytes, bytearray)):
+                return v.hex()
+            if isinstance(v, np.generic):
+                return v.item()
+            return v
+
+        feats: list[dict] = []
+        for pdf in it:
+            # positional zip: itertuples would mangle the _gj column name
+            for r in pdf.itertuples(index=False):
+                vals = dict(zip(pdf.columns, r))
+                gj = vals.pop("_gj", None)
+                vals.pop(geom_col, None)
+                feats.append(
+                    {
+                        "type": "Feature",
+                        "geometry": json.loads(gj) if gj else None,
+                        "properties": {c: clean(v) for c, v in vals.items()},
+                    }
+                )
+        if not feats:
+            return
+        part_id = _uuid.uuid4().hex
+        fc = {
+            "type": "FeatureCollection",
+            "part_id": part_id,
+            "n_features": len(feats),
+            "features": feats,
+        }
+        yield pd.DataFrame(
+            {"part_id": [part_id], "n": [len(feats)], "value": [json.dumps(fc)]}
+        )
+
+    fc_rows = gj_df.mapInPandas(to_fc, schema="part_id string, n long, value string")
+    # two actions consume the serialized collections (tiny count rows +
+    # the text write); persist so the upstream plan runs once
+    fc_rows.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        parts = [
+            {"part_id": r.part_id, "n_features": r.n}
+            for r in fc_rows.select("part_id", "n").collect()
+        ]
+        fc_rows.select("value").write.mode("overwrite").text(path)
+    finally:
+        fc_rows.unpersist()
+    index = {
+        "format": "geojson_parts",
+        "n_parts": len(parts),
+        "total_features": int(sum(p["n_features"] for p in parts)),
+        "parts": sorted(parts, key=lambda p: p["part_id"]),
+    }
+    # index through the Hadoop FS API: works on every scheme the text
+    # writer just used, not only POSIX mounts
+    jvm = spark._jvm
+    ipath = jvm.org.apache.hadoop.fs.Path(path, "_index.json")
+    fs = ipath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(ipath, True)
+    try:
+        out.write(bytearray(json.dumps(index).encode("utf-8")))
+    finally:
+        out.close()
+    return index

@@ -82,7 +82,20 @@ class CommittedTable:
     def publish_partition(
         self, key: str, row_count: int, lineage: dict | None = None
     ) -> dict:
-        """Atomically publish an already-written partition + lineage row."""
+        """Atomically publish an already-written partition + lineage row.
+
+        The manifest update is a read-modify-write (load keys, add one,
+        swap the snapshot), so CONCURRENT committers — driver threads or
+        two independent driver processes resuming the same table — must
+        serialize around it or the later writer erases the earlier key
+        with its stale read. An ``flock`` on a sidecar lock file guards
+        the critical section: on Linux the lock is per open file
+        description, so it serializes both threads of one driver and
+        separate driver processes on a shared POSIX mount (the same
+        single-table-committer discipline Iceberg gets from its
+        catalog's atomic snapshot CAS)."""
+        import fcntl
+
         row = {
             "partition": key,
             "row_count": row_count,
@@ -91,9 +104,14 @@ class CommittedTable:
         }
         with open(os.path.join(self.lineage_dir, f"part_{key}.json"), "w") as f:
             json.dump(row, f)
-        keys = self.committed_keys()
-        keys.add(key)
-        self._write_manifest(keys)
+        with open(self.manifest_path + ".lock", "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                keys = self.committed_keys()
+                keys.add(key)
+                self._write_manifest(keys)
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
         return row
 
     def commit_partition(

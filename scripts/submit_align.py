@@ -39,6 +39,48 @@ except ModuleNotFoundError:
     )
 
 
+def _checkpointed_evaluate(spark, table, theme, ref, cfg, args) -> dict:
+    """Resumable sharded prediction sweep: same manifest discipline as
+    checkpointed_align, with the evaluator (and its O5 ``auto_step``
+    admission control) as the per-shard job. Lineage counts the
+    ``blocked_by_area`` sentinel rows so an operator sees how much of a
+    shard the admission control excluded."""
+    from pyspark.sql import functions as F
+
+    from brdrq_spark.operators.evaluate import evaluate
+    from brdrq_spark.sources.manifest import run_partitioned
+
+    keys = [f"shard_{i:03d}" for i in range(args.shards)]
+    shard_expr = F.pmod(F.xxhash64(F.col("theme_id")), F.lit(args.shards))
+
+    def make_df(key):
+        i = int(key.rsplit("_", 1)[1])
+        return evaluate(
+            spark,
+            theme.filter(shard_expr == i),
+            ref,
+            max_rd=args.max_rd,
+            step=args.step,
+            config=cfg,
+            broadcast_ref=True if args.broadcast_ref else None,
+            auto_step=args.auto_step,
+        )
+
+    def make_lineage(key, df):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("brdr_evaluation") == "blocked_by_area").cast("int")
+            ).alias("blocked"),
+        ).collect()[0]
+        return {"row_count": int(row.n), "blocked_by_area": int(row.blocked or 0)}
+
+    return run_partitioned(
+        spark, table, keys, make_df, make_lineage,
+        max_concurrent=max(args.concurrent, 1),
+    )
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="brdrq_spark distributed align")
     p.add_argument("--theme", required=True, help="thematic parquet path")
@@ -61,7 +103,23 @@ def main(argv: list[str] | None = None) -> int:
                    help="emit SOSA actuation lineage per feature")
     p.add_argument("--concurrent", type=int, default=4,
                    help="shard jobs submitted at once (driver threads)")
+    p.add_argument("--evaluate", action="store_true",
+                   help="run the prediction-sweep evaluator per shard "
+                        "instead of a single-rd align")
+    p.add_argument("--auto-step", action="store_true",
+                   help="evaluate mode: O5 admission control — adaptive "
+                        "grid step by feature area and blocked_by_area "
+                        "rows above 1e6 m2, mirroring the reference "
+                        "featurealigner's interactive default "
+                        "(brdrq_dockwidget_featurealigner.py:1272-1299)")
+    p.add_argument("--max-rd", type=float, default=5.0,
+                   help="evaluate mode: sweep upper bound (meters)")
+    p.add_argument("--step", type=float, default=0.1,
+                   help="evaluate mode: sweep grid step (ignored when "
+                        "--auto-step picks it per area bucket)")
     args = p.parse_args(argv)
+    if args.auto_step and not args.evaluate:
+        p.error("--auto-step only applies to --evaluate mode")
 
     from pyspark.sql import SparkSession
 
@@ -87,16 +145,19 @@ def main(argv: list[str] | None = None) -> int:
     theme = spark.read.parquet(args.theme)
     ref = spark.read.parquet(args.ref)
     table = CommittedTable(args.out)
-    summary = checkpointed_align(
-        spark,
-        table,
-        theme,
-        ref,
-        cfg,
-        n_partitions=args.shards,
-        broadcast_ref=True if args.broadcast_ref else None,
-        max_concurrent=max(args.concurrent, 1),
-    )
+    if args.evaluate:
+        summary = _checkpointed_evaluate(spark, table, theme, ref, cfg, args)
+    else:
+        summary = checkpointed_align(
+            spark,
+            table,
+            theme,
+            ref,
+            cfg,
+            n_partitions=args.shards,
+            broadcast_ref=True if args.broadcast_ref else None,
+            max_concurrent=max(args.concurrent, 1),
+        )
     lineage = table.lineage()
     total_rows = sum(r.get("row_count", 0) for r in lineage)
     print(json.dumps({**summary, "total_rows": total_rows,

@@ -55,14 +55,18 @@ def test_evaluate_auto_step_blocks_and_coarsens(spark):
     """evaluate(auto_step=True): the >1e6 m² theme is excluded from the
     sweep but reported as an explicit blocked_by_area row (the
     reference blocks it loudly, featurealigner.py:1279-1284), and the
-    grid step comes from the largest ADMITTED theme's area — here
-    250000 m² > 1e5 -> 50 cm, so max_rd=2 yields the 5-point grid
-    {0, .5, 1, 1.5, 2} instead of the default 21-point 10 cm grid."""
+    grid step is PER FEATURE, as the reference's chain resolves it
+    per feature: the 250000 m² theme (> 1e5) sweeps the coarse 50 cm
+    grid {0, .5, 1, 1.5, 2} while the 100 m² theme CO-SWEPT WITH IT
+    keeps its fine 10 cm grid — it must be able to land on an
+    off-coarse-grid distance."""
     from brdrq_spark.operators.evaluate import evaluate
 
     themes = spark.createDataFrame(
         pd.DataFrame(
             [
+                # 0.3 m snap offset: its prediction plateau starts at an
+                # off-coarse-grid rd (0.3-0.4), unreachable on a 50 cm grid
                 {"theme_id": "t_small", "geom_wkb": _rect_wkb(0.3, 0.2, 10, 10)},
                 {"theme_id": "t_big", "geom_wkb": _rect_wkb(1000.4, 0.3, 500, 500)},
                 # 1100 x 1100 = 1.21e6 m2 -> blocked
@@ -91,8 +95,10 @@ def test_evaluate_auto_step_blocks_and_coarsens(spark):
     assert len(blocked) == 1
     assert blocked[0].brdr_evaluation == "blocked_by_area"
     assert blocked[0].brdr_relevant_distance is None
-    swept = [r for r in rows if r.theme_id != "t_blocked"]
-    rds = {round(r.brdr_relevant_distance, 2) for r in swept}
-    # predictions sit on the coarse 0.5 m grid only
-    assert rds <= {0.0, 0.5, 1.0, 1.5, 2.0}
-    assert swept  # the admitted themes did produce predictions
+    coarse = {0.0, 0.5, 1.0, 1.5, 2.0}
+    big = {round(r.brdr_relevant_distance, 2) for r in rows if r.theme_id == "t_big"}
+    small = {
+        round(r.brdr_relevant_distance, 2) for r in rows if r.theme_id == "t_small"
+    }
+    assert big and big <= coarse           # big theme: 50 cm grid only
+    assert small and not (small <= coarse)  # small theme: fine 10 cm grid

@@ -395,3 +395,37 @@ def test_bbox_transform_registry():
         )
     finally:
         _crs._BBOX_TRANSFORMS.pop(("EPSG:31370", "EPSG:3812"), None)
+
+
+def test_write_geojson_parts_roundtrip_large(spark, tmp_path):
+    """The sharded GeoJSON sink handles a table ABOVE the single-file
+    cap (>100k rows): one FeatureCollection per partition + _index.json,
+    and read_geojson over the directory returns every feature."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from brdrq_spark.geom import rings_from_wkb, rings_to_wkb
+    from brdrq_spark.sources.geojson import read_geojson, write_geojson_parts
+
+    n = 120_000
+    sq = rings_to_wkb([np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]])])
+    df = (
+        spark.range(n)
+        .selectExpr("cast(id as string) AS fid", "id % 7 AS grp")
+        .withColumn("geom_wkb", F.lit(sq))
+        .repartition(16)
+    )
+    out = str(tmp_path / "layer_parts")
+    index = write_geojson_parts(spark, df, out)
+    assert index["total_features"] == n
+    assert index["n_parts"] >= 2
+    assert sum(p["n_features"] for p in index["parts"]) == n
+
+    back = read_geojson(spark, out, id_field="fid")
+    assert back.count() == n
+    for r in back.limit(3).collect():
+        assert rings_from_wkb(r.geom_wkb)[0].shape == (4, 2)
+        assert r.props["grp"] in {str(i) for i in range(7)}
+        assert r.feature_id == r.props["fid"]
+    # every feature id survives exactly once
+    assert back.select("feature_id").distinct().count() == n
