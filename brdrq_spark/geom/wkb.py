@@ -95,40 +95,29 @@ def rings_from_wkb(wkb: bytes | None) -> list[np.ndarray]:
 _NDIM_BY_Z = np.array([2, 3, 3, 4], dtype=np.int64)  # gtype//1000 -> ndim
 
 
-def polygon_bboxes_batch(wkbs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Vectorized bbox decode of a whole batch of WKB (Multi)Polygons —
-    numpy offset arithmetic over the concatenated buffers instead of a
-    per-row header walk (measured ~25x on a 4096-parcel Arrow batch).
+def _walk_polygon_batch(wkbs):
+    """Shared iteration-vectorized WKB header walk over a whole batch.
 
-    Returns ``(bbox (n,4) float64, n_valid_rings (n,) int64,
-    fallback (n,) bool)``. Rows flagged ``fallback`` (big-endian,
-    non-polygon types, nested multis, truncated/garbage buffers) must be
-    re-decoded by the caller through :func:`rings_from_wkb` so exotic
-    inputs keep the exact per-row semantics (including raising on
-    corrupt WKB). For handled rows the result is BIT-IDENTICAL to
-    ``bbox(rings_from_wkb(w))``: coordinates snap to the ``SNAP`` grid
-    first, and rings that collapse below 3 distinct vertices after
-    dedup (with the closing-duplicate drop) are excluded; ``n_valid``
-    0 with no fallback means an empty/degenerate geometry (the caller's
-    explode_outer case). Handles LE POLYGON/MULTIPOLYGON incl. Z/M/ZM
-    (extra ordinates ignored, as the per-row decoder does).
-
-    The walk is iteration-vectorized: each pass of the polygon/ring
-    loops advances EVERY row's cursor at once, so the Python-level
-    iteration count is max(npolys)*max(nrings) (1-2 for parcel data),
-    not the row count."""
-    from brdrq_spark.geom.core import SNAP, _INV_SNAP
-
+    Parses LE POLYGON/MULTIPOLYGON (incl. Z/M/ZM) headers with numpy
+    offset arithmetic over the concatenated buffers; each pass of the
+    polygon/ring loops advances EVERY row's cursor at once, so the
+    Python-level iteration count is max(npolys)*max(nrings) (1-2 for
+    parcel data), not the row count. Returns ``(state, fallback)``:
+    ``fallback`` marks inputs the walk cannot handle (big-endian,
+    non-polygon types, nested multis, truncated/garbage buffers) which
+    the caller must re-decode per row for exact semantics; ``state`` is
+    None when nothing parsed, else a dict with the byte buffer, parsed
+    row indices, and per-ring records (row ordinal, coord byte start,
+    npts, ndim, polygon ordinal, ring-within-polygon ordinal) already
+    filtered to good rows and non-empty rings."""
     n = len(wkbs)
-    bbox_out = np.full((n, 4), np.nan)
-    nvalid = np.zeros(n, dtype=np.int64)
     fallback = np.zeros(n, dtype=bool)
     bufs = [bytes(w) if w is not None else b"" for w in wkbs]
     lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
     nonempty = lens >= 9
     fallback |= (lens > 0) & (lens < 9)
     if not nonempty.any():
-        return bbox_out, nvalid, fallback
+        return None, fallback
     u8 = np.frombuffer(b"".join(bufs), dtype=np.uint8)
     starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
     ends = starts + lens
@@ -154,27 +143,29 @@ def polygon_bboxes_batch(wkbs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     if len(mp):
         npolys[mp] = u32_at(cur[mp] + 5)
         cur[mp] += 9
-    # accumulate (row, coord_start, npts, ndim) ring records
     rec_row, rec_start, rec_npts, rec_ndim = [], [], [], []
+    rec_poly, rec_ring = [], []
     bad = np.zeros(len(rows), dtype=bool)
     polys_left = npolys.copy()
     active = polys_left > 0
     while active.any():
         a = np.nonzero(active)[0]
         c = cur[a]
+        pord = npolys[a] - polys_left[a]  # 0-based polygon ordinal
         hdr_ok = (c + 9 <= ends[rows[a]]) & (u8[c] == 1)
         ptype = u32_at(np.where(hdr_ok, c, 0) + 1)
         pz = ptype // 1000
         hdr_ok &= (ptype % 1000 == _WKB_POLYGON) & (pz <= 3)
         bad[a[~hdr_ok]] = True
         active[a[~hdr_ok]] = False
-        a, c = a[hdr_ok], c[hdr_ok]
+        a, c, pord = a[hdr_ok], c[hdr_ok], pord[hdr_ok]
         if not len(a):
             break
         pnd = _NDIM_BY_Z[pz[hdr_ok]]
         rc = c + 9
         rings_left = u32_at(c + 5)
         ract = rings_left > 0
+        ring_iter = 0
         while ract.any():
             ra = np.nonzero(ract)[0]
             rr = rc[ra]
@@ -191,49 +182,105 @@ def polygon_bboxes_batch(wkbs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
             rec_start.append(rc[ra] + 4)
             rec_npts.append(npts)
             rec_ndim.append(pnd[ra])
+            rec_poly.append(pord[ra])
+            rec_ring.append(np.full(len(ra), ring_iter, dtype=np.int64))
             rc[ra] += 4 + npts * 8 * pnd[ra]
             rings_left[ra] -= 1
             ract[ra] &= rings_left[ra] > 0
+            ring_iter += 1
         cur[a] = rc
         polys_left[a] -= 1
         active[a] = polys_left[a] > 0
     fallback[rows[bad]] = True
-    if not rec_row:
-        return bbox_out, nvalid, fallback
-    r_row = np.concatenate(rec_row)
-    r_start = np.concatenate(rec_start)
-    r_npts = np.concatenate(rec_npts)
-    r_ndim = np.concatenate(rec_ndim)
-    keep = (~bad[r_row]) & (r_npts > 0)
-    r_row, r_start = r_row[keep], r_start[keep]
-    r_npts, r_ndim = r_npts[keep], r_ndim[keep]
-    out_min = np.full((len(rows), 2), np.inf)
-    out_max = np.full((len(rows), 2), -np.inf)
-    out_cnt = np.zeros(len(rows), dtype=np.int64)
-    for nd in np.unique(r_ndim):
-        g = r_ndim == nd
-        gs, gn, gr = r_start[g], r_npts[g], r_row[g]
-        nbytes = gn * 8 * nd
-        st = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
-        idx = np.repeat(gs - st, nbytes) + np.arange(
-            int(nbytes.sum()), dtype=np.int64
+    state = {"u8": u8, "rows": rows, "bad": bad}
+    if rec_row:
+        r_row = np.concatenate(rec_row)
+        keep = (~bad[r_row]) & (np.concatenate(rec_npts) > 0)
+        state.update(
+            r_row=r_row[keep],
+            r_start=np.concatenate(rec_start)[keep],
+            r_npts=np.concatenate(rec_npts)[keep],
+            r_ndim=np.concatenate(rec_ndim)[keep],
+            r_poly=np.concatenate(rec_poly)[keep],
+            r_ring=np.concatenate(rec_ring)[keep],
         )
-        pts = u8[idx].view("<f8").reshape(-1, int(nd))[:, :2]
-        pts = np.round(pts * _INV_SNAP) * SNAP
-        pstart = np.concatenate(([0], np.cumsum(gn)[:-1]))
-        rmin = np.minimum.reduceat(pts, pstart)
-        rmax = np.maximum.reduceat(pts, pstart)
-        # ring survives iff >= 3 distinct consecutive vertices after the
-        # closing-duplicate drop — mirrors snap_ring + the < 3 skip
-        neq = np.empty(len(pts), dtype=bool)
+    else:
+        z = np.zeros(0, dtype=np.int64)
+        state.update(r_row=z, r_start=z, r_npts=z, r_ndim=z, r_poly=z, r_ring=z)
+    return state, fallback
+
+
+def _gather_ring_points(state, sel):
+    """Snapped (x, y) points of the selected ring records, concatenated
+    in ``sel`` order, plus per-ring start offsets. Requires all selected
+    records to share one ndim (group before calling)."""
+    from brdrq_spark.geom.core import SNAP, _INV_SNAP
+
+    gs = state["r_start"][sel]
+    gn = state["r_npts"][sel]
+    nd = int(state["r_ndim"][sel][0])
+    nbytes = gn * 8 * nd
+    st = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    idx = np.repeat(gs - st, nbytes) + np.arange(int(nbytes.sum()), dtype=np.int64)
+    pts = state["u8"][idx].view("<f8").reshape(-1, nd)[:, :2]
+    pts = np.round(pts * _INV_SNAP) * SNAP
+    return pts, np.concatenate(([0], np.cumsum(gn)[:-1]))
+
+
+def _ring_dedup_stats(pts, pstart, gn):
+    """Per-ring consecutive-duplicate stats over concatenated snapped
+    points — mirrors ``snap_ring``: ``keep`` marks the retained points
+    (first occurrence of every run, minus the closing duplicate),
+    ``final_n`` the retained count; rings with final_n < 3 are the
+    degenerate ones the per-row decoder drops."""
+    neq = np.empty(len(pts), dtype=bool)
+    if len(pts):
         neq[0] = True
         neq[1:] = (pts[1:] != pts[:-1]).any(axis=1)
         neq[pstart] = True
-        distinct = np.add.reduceat(neq.astype(np.int64), pstart)
-        closed = (pts[pstart] == pts[pstart + gn - 1]).all(axis=1) & (
-            distinct > 1
-        )
-        rv = (distinct - closed.astype(np.int64)) >= 3
+    distinct = np.add.reduceat(neq.astype(np.int64), pstart) if len(pts) else (
+        np.zeros(0, dtype=np.int64)
+    )
+    last = pstart + gn - 1
+    closed = (pts[pstart] == pts[last]).all(axis=1) & (distinct > 1) if len(pts) else (
+        np.zeros(0, dtype=bool)
+    )
+    return neq, distinct, closed, distinct - closed.astype(np.int64)
+
+
+def polygon_bboxes_batch(wkbs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized bbox decode of a whole batch of WKB (Multi)Polygons —
+    numpy offset arithmetic over the concatenated buffers instead of a
+    per-row header walk (measured ~25x on a 4096-parcel Arrow batch).
+
+    Returns ``(bbox (n,4) float64, n_valid_rings (n,) int64,
+    fallback (n,) bool)``. Rows flagged ``fallback`` must be re-decoded
+    by the caller through :func:`rings_from_wkb` so exotic inputs keep
+    the exact per-row semantics (including raising on corrupt WKB). For
+    handled rows the result is BIT-IDENTICAL to
+    ``bbox(rings_from_wkb(w))``: coordinates snap to the ``SNAP`` grid
+    first, and rings that collapse below 3 distinct vertices after
+    dedup (with the closing-duplicate drop) are excluded; ``n_valid``
+    0 with no fallback means an empty/degenerate geometry (the caller's
+    explode_outer case)."""
+    n = len(wkbs)
+    bbox_out = np.full((n, 4), np.nan)
+    nvalid = np.zeros(n, dtype=np.int64)
+    state, fallback = _walk_polygon_batch(wkbs)
+    if state is None or not len(state["r_row"]):
+        return bbox_out, nvalid, fallback
+    rows, bad = state["rows"], state["bad"]
+    out_min = np.full((len(rows), 2), np.inf)
+    out_max = np.full((len(rows), 2), -np.inf)
+    out_cnt = np.zeros(len(rows), dtype=np.int64)
+    for nd in np.unique(state["r_ndim"]):
+        sel = np.nonzero(state["r_ndim"] == nd)[0]
+        gn, gr = state["r_npts"][sel], state["r_row"][sel]
+        pts, pstart = _gather_ring_points(state, sel)
+        rmin = np.minimum.reduceat(pts, pstart)
+        rmax = np.maximum.reduceat(pts, pstart)
+        _, _, _, final_n = _ring_dedup_stats(pts, pstart, gn)
+        rv = final_n >= 3
         if rv.any():
             np.minimum.at(out_min, gr[rv], rmin[rv])
             np.maximum.at(out_max, gr[rv], rmax[rv])
@@ -243,6 +290,89 @@ def polygon_bboxes_batch(wkbs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     bbox_out[rows[hasr], 2:] = out_max[hasr]
     nvalid[rows[hasr]] = out_cnt[hasr]
     return bbox_out, nvalid, fallback
+
+
+def rings_from_wkb_batch(wkbs) -> list[list[np.ndarray]]:
+    """Batch equivalent of ``[rings_from_wkb(w) for w in wkbs]`` — the
+    snap/dedup/orientation math runs as a few numpy passes over every
+    ring of the batch; only the final per-ring slicing is a Python loop.
+    Rows the vectorized walk cannot handle re-decode through the per-row
+    path internally (identical results, including raising on corrupt
+    WKB). Output is bit-identical: same ring order (row, polygon, ring),
+    same snapped/deduped vertices, same outer-CCW/hole-CW orientation —
+    including the per-row decoder's keep-as-is behavior for exactly
+    zero-area rings (near-zero areas re-check through ``ring_area`` so
+    the flip decision never hinges on summation-order noise)."""
+    out: list[list[np.ndarray]] = [[] for _ in range(len(wkbs))]
+    state, fallback = _walk_polygon_batch(wkbs)
+    for k in np.nonzero(fallback)[0]:
+        out[k] = rings_from_wkb(wkbs[k])
+    if state is None or not len(state["r_row"]):
+        return out
+    rows = state["rows"]
+    # (row, polygon, ring) order = the per-row decoder's emission order;
+    # slots keep that order stable even when a (pathological) geometry
+    # mixes coordinate dimensions across its polygons
+    order = np.lexsort((state["r_ring"], state["r_poly"], state["r_row"]))
+    slots: list = [None] * len(order)
+    for nd in np.unique(state["r_ndim"]):
+        in_group = state["r_ndim"][order] == nd
+        sel = order[in_group]
+        slot_pos = np.nonzero(in_group)[0]
+        gn, gr, gring = (
+            state["r_npts"][sel],
+            state["r_row"][sel],
+            state["r_ring"][sel],
+        )
+        pts, pstart = _gather_ring_points(state, sel)
+        keep, _, closed, final_n = _ring_dedup_stats(pts, pstart, gn)
+        # drop the closing duplicate: unmark the LAST KEPT point of
+        # closed rings (its value equals the ring's first point)
+        kcount = np.add.reduceat(keep.astype(np.int64), pstart)
+        if closed.any():
+            kept_idx = np.nonzero(keep)[0]
+            kend = np.cumsum(kcount) - 1  # last kept ordinal per ring
+            keep[kept_idx[kend[closed]]] = False
+            kcount = np.add.reduceat(keep.astype(np.int64), pstart)
+        kpts = pts[keep]
+        kstart = np.concatenate(([0], np.cumsum(kcount)[:-1]))
+        # signed shoelace per ring over the KEPT points (cyclic); every
+        # ring keeps >= 1 point, so the reduceat segments are non-empty
+        nxt = np.arange(1, len(kpts) + 1, dtype=np.int64)
+        nxt[kstart + kcount - 1] = kstart
+        cross = (
+            kpts[:, 0] * kpts[nxt, 1] - kpts[:, 1] * kpts[nxt, 0]
+            if len(kpts)
+            else np.zeros(0)
+        )
+        area = 0.5 * np.add.reduceat(cross, kstart)
+        scale = np.add.reduceat(np.abs(cross), kstart)
+        valid = final_n >= 3
+        want_ccw = gring == 0
+        flip = ((area > 0) != want_ccw) & (area != 0)
+        # near-zero areas: summation order must not decide the sign —
+        # re-derive with the scalar ring_area exactly as the per-row
+        # decoder computes it
+        risky = set(
+            np.nonzero(valid & (np.abs(area) <= 1e-9 * (scale + 1.0)))[0].tolist()
+        )
+        for i in range(len(sel)):
+            if not valid[i]:
+                continue
+            ring = kpts[kstart[i] : kstart[i] + kcount[i]]
+            if i in risky:
+                a = ring_area(ring)
+                do_flip = ((a > 0) != want_ccw[i]) and a != 0
+            else:
+                do_flip = bool(flip[i])
+            slots[slot_pos[i]] = (
+                int(rows[gr[i]]),
+                ring[::-1] if do_flip else ring,
+            )
+    for slot in slots:
+        if slot is not None:
+            out[slot[0]].append(slot[1])
+    return out
 
 
 def lines_from_wkb(wkb: bytes | None) -> list[np.ndarray]:

@@ -224,6 +224,7 @@ def embedding_near_dup(
     seed: int = 7,
     multi_probe: bool = True,
     max_bucket_size: int = 2000,
+    on_mismatch: str = "raise",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs.
 
@@ -236,7 +237,9 @@ def embedding_near_dup(
     space is bounded by max_bucket_size² x (1 + n_bits) regardless of
     corpus size or skew.
     Exact duplicates share a signature, so planted-duplicate recall is
-    1.0 even single-probe.
+    1.0 even single-probe. ``on_mismatch="quarantine"`` drops
+    wrong-length vectors instead of aborting (see
+    similarity.rh_signature / mismatched_vectors).
     """
     from pyspark.sql import Window
 
@@ -245,13 +248,14 @@ def embedding_near_dup(
     norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x * x))
     # NULL embeddings can never be near-duplicates of anything; drop
     # them before bucketing so they don't consume the per-bucket cap
+    # (quarantined NULL signatures drop with the same filter below)
     emb = emb.where(F.col(vec_col).isNotNull())
     base = emb.select(
         F.col(id_col),
         F.col(vec_col),
         norm.alias("nrm"),
-        rh_signature(F.col(vec_col), n_bits, dim, seed).alias("_sig"),
-    )
+        rh_signature(F.col(vec_col), n_bits, dim, seed, on_mismatch).alias("_sig"),
+    ).where(F.col("_sig").isNotNull())
     # cap the BASE per home bucket (one window, before either side is
     # derived): both the probe side's explode and the build side descend
     # from the capped set, so a degenerate bucket's pair space is bounded

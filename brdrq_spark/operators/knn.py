@@ -64,14 +64,21 @@ def knn_boundary_segments(
     pairs = candidate_pairs(theme_df, ref_df, max_rd=search_radius / 2.0)
     # sub-group sizing is per theme: n_groups = ceil(candidates / cap),
     # assignment by hash so every ref lands in exactly one group (no
-    # duplicate (vertex, segment) rows to dedup at merge time)
-    wcnt = Window.partitionBy("theme_id")
-    n_groups = F.greatest(
-        F.ceil(F.count("*").over(wcnt) / F.lit(max_refs_per_group)), F.lit(1)
-    )
-    pairs = pairs.withColumn(
-        "_sub", F.pmod(F.xxhash64("ref_id"), n_groups).cast("int")
-    )
+    # duplicate (vertex, segment) rows to dedup at merge time). The
+    # per-theme count comes from a groupBy aggregate joined back — an
+    # unbounded Window.partitionBy here would shuffle every pair column
+    # through a window stage just to attach one small number. No forced
+    # broadcast: the aggregate is (theme_id, count) so AQE broadcasts it
+    # when it is small, while a billion-theme run keeps the shuffle join
+    # instead of collecting the counts to the driver
+    pairs = pairs.join(
+        pairs.groupBy("theme_id").agg(
+            F.greatest(
+                F.ceil(F.count("*") / F.lit(max_refs_per_group)), F.lit(1)
+            ).alias("_ngroups")
+        ),
+        "theme_id",
+    ).withColumn("_sub", F.pmod(F.xxhash64("ref_id"), F.col("_ngroups")).cast("int"))
     t = theme_df.select("theme_id", F.col("geom_wkb").alias("theme_wkb"))
     r = ref_df.select("ref_id", F.col("geom_wkb").alias("ref_wkb"))
     grouped = (

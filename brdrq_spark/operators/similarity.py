@@ -48,31 +48,51 @@ def hyperplane_signs(n_bits: int, dim: int, seed: int = 7) -> list[list[float]]:
     return signs
 
 
-def rh_signature(vec_col, n_bits: int, dim: int, seed: int = 7):
+def rh_signature(
+    vec_col, n_bits: int, dim: int, seed: int = 7, on_mismatch: str = "raise"
+):
     """Random-hyperplane signature column (long, JVM-side only):
     bit b = [dot(v, plane_b) > 0]. n_bits aggregates over zip_with stay
     inside whole-stage codegen — no Python in the signature path.
 
-    A non-null vector whose length != ``dim`` raises at execution time
-    rather than degrading: zip_with would null-pad the shorter side,
-    every projection would go null, and ALL mismatched vectors would
-    collapse into signature 0 — one degenerate bucket whose cap then
-    silently drops recall. Loud beats wrong. NULL vectors keep their
-    historical behavior (signature 0) — a missing embedding is a data
-    gap, not a wiring bug, and must not abort a corpus-scale job."""
+    ``on_mismatch`` governs non-null vectors whose length != ``dim``:
+
+    * ``"raise"`` (default): fail the job at execution time rather than
+      degrade — zip_with would null-pad the shorter side, every
+      projection would go null, and ALL mismatched vectors would
+      collapse into signature 0, one degenerate bucket whose cap then
+      silently drops recall. Loud beats wrong.
+    * ``"quarantine"``: mismatched vectors get a NULL signature instead
+      of aborting — the bucketing callers drop NULL signatures, so one
+      corrupt row degrades recall by exactly itself instead of killing
+      a corpus-scale run; count/inspect them with
+      :func:`mismatched_vectors`.
+
+    NULL vectors keep their historical behavior in both modes
+    (signature 0) — a missing embedding is a data gap, not a wiring
+    bug, and must not abort a corpus-scale job."""
+    if on_mismatch not in ("raise", "quarantine"):
+        raise ValueError(f"on_mismatch must be raise|quarantine, got {on_mismatch!r}")
     v = vec_col.cast("array<double>")
-    guard = F.assert_true(
-        v.isNull() | (F.size(v) == F.lit(dim)),
-        F.concat(
-            F.lit(f"rh_signature: vector length != dim={dim} (got "),
-            F.coalesce(F.size(v).cast("string"), F.lit("null")),
-            F.lit(")"),
-        ),
-    )
-    # assert_true returns NULL on success (and raises otherwise), so
-    # folding it through a coalesce keeps the guard inside the same
-    # projected expression without a separate pass
-    sig = F.coalesce(guard.cast("long"), F.lit(0).cast("long"))
+    if on_mismatch == "quarantine":
+        # NULL base for mismatched vectors; NULL propagates through the
+        # bit sum so the whole signature goes NULL
+        sig = F.when(
+            v.isNull() | (F.size(v) == F.lit(dim)), F.lit(0).cast("long")
+        )
+    else:
+        guard = F.assert_true(
+            v.isNull() | (F.size(v) == F.lit(dim)),
+            F.concat(
+                F.lit(f"rh_signature: vector length != dim={dim} (got "),
+                F.coalesce(F.size(v).cast("string"), F.lit("null")),
+                F.lit(")"),
+            ),
+        )
+        # assert_true returns NULL on success (and raises otherwise), so
+        # folding it through a coalesce keeps the guard inside the same
+        # projected expression without a separate pass
+        sig = F.coalesce(guard.cast("long"), F.lit(0).cast("long"))
     for b, row in enumerate(hyperplane_signs(n_bits, dim, seed)):
         plane = F.array(*[F.lit(x) for x in row])
         proj = F.aggregate(
@@ -82,6 +102,14 @@ def rh_signature(vec_col, n_bits: int, dim: int, seed: int = 7):
             F.lit(0).cast("long")
         )
     return sig
+
+
+def mismatched_vectors(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """The quarantine set: rows whose NON-NULL vector has length !=
+    ``dim`` — exactly the rows ``on_mismatch="quarantine"`` drops from
+    bucketing. Count or inspect them alongside the ANN join."""
+    v = F.col(vec_col).cast("array<double>")
+    return df.where(v.isNotNull() & (F.size(v) != F.lit(dim)))
 
 
 def probe_buckets(sig_col, n_bits: int, multi_probe: bool = True):
@@ -138,6 +166,7 @@ def knn_join_bucketed(
     max_bucket_size: int = 2000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    on_mismatch: str = "raise",
 ) -> DataFrame:
     """Approximate kNN join: random-hyperplane buckets + per-bucket
     scoring, multi-probe on the query side.
@@ -149,18 +178,29 @@ def knn_join_bucketed(
     1 + n_bits flip-1-bit probes, so an exact or near duplicate in an
     adjacent bucket is still found. Identical vectors always share a
     bucket — planted-duplicate recall is 1.0 by construction.
+    ``on_mismatch="quarantine"`` drops wrong-length vectors (NULL
+    signature) instead of aborting — see :func:`rh_signature` and
+    :func:`mismatched_vectors`.
     """
     from pyspark.sql import Window
 
     def with_bucket(df, prefix):
         # a NULL embedding can never match anything — drop it up front
         # so it neither crowds bucket 0's cap (evicting real
-        # signature-0 vectors) nor emits null-cosine rows into top-k
+        # signature-0 vectors) nor emits null-cosine rows into top-k;
+        # in quarantine mode the NULL-signature (mismatched) rows drop
+        # with the same filter
         v = F.col(vec_col).cast("array<double>")
-        return df.where(F.col(vec_col).isNotNull()).select(
-            F.col(id_col).alias(f"{prefix}_id"),
-            v.alias(f"{prefix}_vec"),
-            rh_signature(F.col(vec_col), n_bits, dim, seed).alias("_sig"),
+        return (
+            df.where(F.col(vec_col).isNotNull())
+            .select(
+                F.col(id_col).alias(f"{prefix}_id"),
+                v.alias(f"{prefix}_vec"),
+                rh_signature(
+                    F.col(vec_col), n_bits, dim, seed, on_mismatch
+                ).alias("_sig"),
+            )
+            .where(F.col("_sig").isNotNull())
         )
 
     c = with_bucket(emb, "c").withColumnRenamed("_sig", "bucket")

@@ -11,7 +11,8 @@ once**:
 
 1. **decompose** (mapInPandas over themes): every boundary segment
    becomes an edge row keyed by its canonical endpoint pair
-   (lexicographically ordered, 1e-9-rounded), with a per-theme direction
+   (lexicographically ordered, 1e-9-rounded, packed as one 32-byte
+   binary key), with a per-theme direction
    flag. Edges shared by two adjacent themes collapse to ONE key.
 2. **snap** (distinct edges through the standard cell-join candidate
    plan + a vectorized kernel): each distinct edge densifies and snaps
@@ -26,7 +27,7 @@ once**:
 
 Scale shape: stage 2's unit of work is the *distinct* edge — in a dense
 tessellation roughly half the naive per-theme edge work, and the
-equi-joins are plain long/string keys Catalyst shuffles or broadcasts;
+equi-joins are plain long/binary keys Catalyst shuffles or broadcasts;
 no global topology object ever materializes on one node.
 """
 
@@ -40,6 +41,7 @@ from pyspark.sql import types as T
 
 from brdrq_spark.geom import boolean_op, rings_area, rings_from_wkb, rings_to_wkb
 from brdrq_spark.geom.core import _edges
+from brdrq_spark.geom.wkb import rings_from_wkb_batch
 from brdrq_spark.grid import cell_cover_bbox, pick_resolution
 from brdrq_spark.operators.network import _densify_with_mask
 from brdrq_spark.operators.snaplines import _snap_vertices
@@ -50,7 +52,7 @@ EDGE_SCHEMA = T.StructType(
         T.StructField("ring_idx", T.IntegerType()),
         T.StructField("edge_idx", T.IntegerType()),
         T.StructField("rev", T.BooleanType()),
-        T.StructField("ekey", T.StringType()),
+        T.StructField("ekey", T.BinaryType()),
         T.StructField("ax", T.DoubleType()),
         T.StructField("ay", T.DoubleType()),
         T.StructField("bx", T.DoubleType()),
@@ -60,7 +62,7 @@ EDGE_SCHEMA = T.StructType(
 
 SNAPPED_SCHEMA = T.StructType(
     [
-        T.StructField("ekey", T.StringType()),
+        T.StructField("ekey", T.BinaryType()),
         T.StructField("xs", T.ArrayType(T.DoubleType())),
         T.StructField("ys", T.ArrayType(T.DoubleType())),
         T.StructField("moved", T.IntegerType()),
@@ -81,64 +83,111 @@ TOPOLOGY_SCHEMA = T.StructType(
 )
 
 
-def _canonical(a: np.ndarray, b: np.ndarray):
-    """Canonical (ordered) endpoint pair + whether (a, b) is reversed.
-    1e-9 rounding in the key makes edges shared across themes collapse
-    to one key even after independent float round-trips."""
-    ka = (round(float(a[0]), 9), round(float(a[1]), 9))
-    kb = (round(float(b[0]), 9), round(float(b[1]), 9))
-    if kb < ka:
-        return kb, ka, True
-    return ka, kb, False
-
-
 def _decompose(batches):
     for pdf in batches:
         yield _decompose_batch(pdf)
 
 
 def _decompose_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    out = []
-    for r in pdf.itertuples(index=False):
-        rings = rings_from_wkb(r.geom_wkb)
+    """Rows -> one edge row per boundary segment, canonical-keyed.
+
+    Fully batch-vectorized: the WKB ring decode runs through
+    ``rings_from_wkb_batch`` (one numpy walk over the concatenated
+    buffers) and the per-edge math — 1e-9 rounding, lexicographic
+    endpoint ordering, 32-byte binary key packing — is one numpy pass
+    over every edge of the batch. The 1e-9 rounding in the key makes
+    edges shared across themes collapse to one key even after
+    independent float round-trips."""
+    cols = [f.name for f in EDGE_SCHEMA.fields]
+    theme_ids = pdf["theme_id"].to_numpy(dtype=object)
+    sent_idx: list[int] = []
+    seg_theme: list[int] = []
+    seg_ring: list[int] = []
+    seg_n: list[int] = []
+    pts_a: list[np.ndarray] = []
+    pts_b: list[np.ndarray] = []
+    ring_sets = rings_from_wkb_batch(list(pdf["geom_wkb"]))
+    for k, rings in enumerate(ring_sets):
         if not rings:
-            # sentinel row: keeps the theme in the pipeline so the
-            # one-row-per-theme contract holds WITHOUT a separate
-            # anti-join + third decompose pass (ekey None never matches
-            # the snap output; reassembly recognises edge_idx == -1)
-            out.append(
-                {
-                    "theme_id": r.theme_id,
-                    "ring_idx": -1,
-                    "edge_idx": -1,
-                    "rev": False,
-                    "ekey": None,
-                    "ax": 0.0,
-                    "ay": 0.0,
-                    "bx": 0.0,
-                    "by": 0.0,
-                }
-            )
+            sent_idx.append(k)
             continue
         for ri, ring in enumerate(rings):
             closed = np.vstack([ring, ring[:1]])
-            for ei in range(len(closed) - 1):
-                ka, kb, rev = _canonical(closed[ei], closed[ei + 1])
-                ekey = f"{ka[0]:.9f},{ka[1]:.9f}|{kb[0]:.9f},{kb[1]:.9f}"
-                out.append(
-                    {
-                        "theme_id": r.theme_id,
-                        "ring_idx": ri,
-                        "edge_idx": ei,
-                        "rev": rev,
-                        "ekey": ekey,
-                        "ax": ka[0],
-                        "ay": ka[1],
-                        "bx": kb[0],
-                        "by": kb[1],
-                    }
-                )
-    return pd.DataFrame(out, columns=[f.name for f in EDGE_SCHEMA.fields])
+            seg_theme.append(k)
+            seg_ring.append(ri)
+            seg_n.append(len(closed) - 1)
+            pts_a.append(closed[:-1])
+            pts_b.append(closed[1:])
+
+    frames = []
+    if seg_n:
+        n_e = np.asarray(seg_n, dtype=np.int64)
+        a = np.concatenate(pts_a)
+        b = np.concatenate(pts_b)
+        ra, rb = np.round(a, 9), np.round(b, 9)
+        rev = (rb[:, 0] < ra[:, 0]) | (
+            (rb[:, 0] == ra[:, 0]) & (rb[:, 1] < ra[:, 1])
+        )
+        ka = np.where(rev[:, None], rb, ra)
+        kb = np.where(rev[:, None], ra, rb)
+        # canonical key = the 4 rounded endpoint doubles packed into a
+        # 32-byte binary value (a zero-copy view — ~10x the per-edge
+        # %.9f string formatting this replaces). numpy's S dtype strips
+        # trailing NUL bytes on access; that is injective on fixed
+        # 32-byte records (two distinct records can never strip to the
+        # same prefix), so key equality is exactly coordinate equality
+        key = (
+            np.ascontiguousarray(np.column_stack([ka, kb]))
+            .view("S32")
+            .ravel()
+        )
+        starts = np.concatenate(([0], np.cumsum(n_e)[:-1]))
+        frames.append(
+            pd.DataFrame(
+                {
+                    "theme_id": theme_ids[np.repeat(seg_theme, n_e)],
+                    "ring_idx": np.repeat(seg_ring, n_e).astype(np.int32),
+                    "edge_idx": (
+                        np.arange(int(n_e.sum()), dtype=np.int64)
+                        - np.repeat(starts, n_e)
+                    ).astype(np.int32),
+                    "rev": rev,
+                    "ekey": key,
+                    "ax": ka[:, 0],
+                    "ay": ka[:, 1],
+                    "bx": kb[:, 0],
+                    "by": kb[:, 1],
+                },
+                columns=cols,
+            )
+        )
+    if sent_idx:
+        # sentinel rows: keep empty themes in the pipeline so the
+        # one-row-per-theme contract holds WITHOUT a separate anti-join
+        # + third decompose pass (ekey None never matches the snap
+        # output; reassembly recognises edge_idx == -1)
+        n_s = len(sent_idx)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "theme_id": theme_ids[sent_idx],
+                    "ring_idx": np.full(n_s, -1, dtype=np.int32),
+                    "edge_idx": np.full(n_s, -1, dtype=np.int32),
+                    "rev": np.zeros(n_s, dtype=bool),
+                    "ekey": pd.Series([None] * n_s, dtype=object),
+                    "ax": np.zeros(n_s),
+                    "ay": np.zeros(n_s),
+                    "bx": np.zeros(n_s),
+                    "by": np.zeros(n_s),
+                },
+                columns=cols,
+            )
+        )
+    if not frames:
+        return pd.DataFrame(
+            {c: pd.Series([], dtype=object) for c in cols}, columns=cols
+        )
+    return frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
 
 
 def _make_snap_kernel(rd: float, max_seg: float):

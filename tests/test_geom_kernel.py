@@ -358,3 +358,55 @@ def test_polygon_bboxes_batch_equivalence():
     ]
     _, _, fb = polygon_bboxes_batch(exotic)
     assert fb.all()
+
+
+def test_rings_from_wkb_batch_equivalence():
+    """The batch ring decoder is bit-identical to rings_from_wkb —
+    same ring order, snapped/deduped vertices, orientation flips, and
+    degenerate-ring drops — and falls back per-row on exotic shapes."""
+    import struct
+
+    import numpy as np
+
+    from brdrq_spark.geom.wkb import (
+        lines_to_wkb,
+        rings_from_wkb,
+        rings_from_wkb_batch,
+        rings_to_wkb,
+    )
+    from brdrq_spark.sources.synthetic import reference_parcels, thematic_polygons
+
+    def raw_poly(rings, gt=3):
+        parts = [struct.pack("<BII", 1, gt, len(rings))]
+        for r in rings:
+            parts.append(struct.pack("<I", len(r)))
+            parts.append(np.asarray(r, dtype=np.float64).astype("<f8").tobytes())
+        return b"".join(parts)
+
+    sq = [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]]
+    hole = [[2, 2], [2, 4], [4, 4], [4, 2], [2, 2]]
+    dup = [[0, 0], [0, 0], [5, 0], [5, 5], [5, 5], [0, 5], [0, 0]]
+    wkbs = (
+        list(reference_parcels(6, 6, seed=5).geom_wkb)
+        + list(thematic_polygons(40, 8, 8, seed=5, jitter=1.0).geom_wkb)
+        + [
+            rings_to_wkb([np.array(sq[:-1], float)]),
+            raw_poly([sq[::-1], hole[::-1]]),        # wrong orientations -> flip
+            raw_poly([[[1, 1], [1, 1], [1, 1]]]),    # degenerate
+            raw_poly([dup]),                         # consecutive dups
+            raw_poly([[[0, 0], [5, 0], [0, 0]]]),    # zero-area
+            struct.pack("<BII", 1, 6, 0),            # empty multipolygon
+            None,
+            b"",
+            struct.pack(">BII", 0, 3, 1)             # big-endian -> fallback
+            + struct.pack(">I", 5)
+            + np.asarray(sq, float).astype(">f8").tobytes(),
+            lines_to_wkb([np.array(sq, float)]),     # linestring -> []
+        ]
+    )
+    got = rings_from_wkb_batch(wkbs)
+    for k, w in enumerate(wkbs):
+        exp = rings_from_wkb(w)
+        assert len(got[k]) == len(exp), k
+        for g, e in zip(got[k], exp):
+            assert g.shape == e.shape and (g == e).all(), k

@@ -464,3 +464,70 @@ def test_evaluate_best_strategy_is_argmax(spark, small_tables):
         for r in best.collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_rh_signature_quarantine_mode(spark):
+    """on_mismatch='quarantine': a wrong-length vector gets a NULL
+    signature and silently drops out of the bucketed ANN join instead
+    of aborting the run; mismatched_vectors() returns exactly the
+    quarantine set, and good vectors keep full planted-dup recall."""
+    import pandas as pd
+    import pytest
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import PythonException
+
+    from brdrq_spark.operators.similarity import (
+        knn_join_bucketed,
+        mismatched_vectors,
+        rh_signature,
+    )
+
+    rows = [{"vec_id": i, "embedding": [float(i), 1.0, -1.0]} for i in range(8)]
+    rows.append({"vec_id": 77, "embedding": [9.0, 9.0]})  # wrong length
+    rows.append({"vec_id": 88, "embedding": None})
+    emb = spark.createDataFrame(pd.DataFrame(rows))
+
+    # quarantine: NULL signature for the bad row, 0 for the null vector
+    sigs = {
+        r.vec_id: r.s
+        for r in emb.select(
+            "vec_id",
+            rh_signature(
+                F.col("embedding"), 4, dim=3, on_mismatch="quarantine"
+            ).alias("s"),
+        ).collect()
+    }
+    assert sigs[77] is None
+    assert sigs[88] == 0
+    assert all(sigs[i] is not None for i in range(8))
+
+    # the raise default still aborts on the same input (regression: the
+    # quarantine path must not weaken the loud mode)
+    with pytest.raises(Exception):
+        emb.select(
+            rh_signature(F.col("embedding"), 4, dim=3).alias("s")
+        ).collect()
+
+    # quarantine set is exactly the wrong-length row
+    assert [r.vec_id for r in mismatched_vectors(emb, "embedding", 3).collect()] == [77]
+
+    # the bucketed join completes and pairs byte-identical duplicates;
+    # the quarantined id appears on neither side
+    dup = spark.createDataFrame(
+        pd.DataFrame(
+            [{"vec_id": 1000 + i, "embedding": [float(i), 1.0, -1.0]} for i in range(8)]
+            + [{"vec_id": 1077, "embedding": [7.0, 7.0]}]
+        )
+    )
+    out = knn_join_bucketed(
+        emb, dup, k=1, n_bits=8, dim=3, on_mismatch="quarantine"
+    ).collect()
+    got = {r.q_id: r.c_id for r in out if r.rank == 1}
+    for i in range(8):
+        assert got[1000 + i] == i
+    assert 1077 not in got and 77 not in {r.c_id for r in out}
+
+    # invalid mode name is rejected up front
+    with pytest.raises(ValueError):
+        rh_signature(F.col("embedding"), 4, dim=3, on_mismatch="ignore")
