@@ -58,6 +58,7 @@ from brdrq_spark.geom import (
     rings_to_wkb,
 )
 from brdrq_spark.geom.buffer import close_rings, erode_area, open_rings
+from brdrq_spark.geom.wkb import polygon_bboxes_batch, rings_from_wkb_hybrid
 from brdrq_spark.geom.coarse import snap_normalize
 from brdrq_spark.geom.clip import area_of_op
 from brdrq_spark.grid import cell_cover_bbox, pick_resolution
@@ -439,15 +440,33 @@ def _make_kernel(cfg: AlignConfig, res: int):
         if len(ref_wkbs) > cfg.max_candidates_per_theme:
             # deterministic admission: nearest-by-bbox first (then WKB
             # bytes as tiebreak) so the kept set is independent of
-            # shuffle arrival order
+            # shuffle arrival order. This branch only fires on dense
+            # 100s-of-candidates themes, so the bboxes come from the
+            # batch decoder (bit-identical; rare unparsable rows keep
+            # the scalar expression)
             tb = bbox(theme_rings)
-            ref_wkbs = sorted(
-                ref_wkbs,
-                key=lambda w: (bbox_distance(tb, bbox(rings_from_wkb(w))), w),
-            )[: cfg.max_candidates_per_theme]
+            bb4, nv, fb = polygon_bboxes_batch(ref_wkbs)
+
+            def _adm_key(pair):
+                i, w = pair
+                if fb[i] or nv[i] == 0:
+                    return (bbox_distance(tb, bbox(rings_from_wkb(w))), w)
+                return (
+                    bbox_distance(tb, (bb4[i, 0], bb4[i, 1], bb4[i, 2], bb4[i, 3])),
+                    w,
+                )
+
+            ref_wkbs = [
+                w for _, w in sorted(enumerate(ref_wkbs), key=_adm_key)
+            ][: cfg.max_candidates_per_theme]
             remark = f"candidates_capped_at_{cfg.max_candidates_per_theme}"
-        decoded = [(rings_from_wkb(b), b) for b in ref_wkbs]
-        decoded = [(r, b) for r, b in decoded if r]
+        # candidate decode: scalar path for parcel-sized groups, batch
+        # walk for dense ones (rings_from_wkb_hybrid crossover ~24)
+        decoded = [
+            (r, b)
+            for r, b in zip(rings_from_wkb_hybrid(ref_wkbs), ref_wkbs)
+            if r
+        ]
         ref_ring_sets = [r for r, _ in decoded]
         ref_infos = [refmap.get(b, (None, None)) for _, b in decoded]
         if not ref_ring_sets and not remark:

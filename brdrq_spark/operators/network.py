@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from brdrq_spark.geom import boolean_op, rings_area, rings_from_wkb, rings_to_wkb
+from brdrq_spark.geom.wkb import rings_from_wkb_hybrid
 from brdrq_spark.geom.core import _edges
 from brdrq_spark.operators.align import AlignConfig, align_candidate_rows
 from brdrq_spark.operators.snaplines import SNAP_NO_PREFERENCE, _snap_vertices, densify
@@ -221,7 +222,7 @@ def align_network(
         ref_wkbs = list(
             dict.fromkeys(bytes(b) for b in pdf["ref_wkb"] if b is not None)
         )
-        ref_sets = [s for s in (rings_from_wkb(b) for b in ref_wkbs) if s]
+        ref_sets = [s for s in rings_from_wkb_hybrid(ref_wkbs) if s]
         snapped, n_v, n_s, mv = snap_polygon_rings(
             rings, ref_sets, rd, snap_max_segment_length, snap_strategy
         )

@@ -29,7 +29,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from brdrq_spark.geom.core import _edges, _seg_point_dist2
-from brdrq_spark.geom.wkb import lines_from_wkb, lines_to_wkb, rings_from_wkb
+from brdrq_spark.geom.wkb import (
+    lines_from_wkb,
+    lines_to_wkb,
+    rings_from_wkb,
+    rings_from_wkb_hybrid,
+)
 from brdrq_spark.grid import pick_resolution
 
 
@@ -219,7 +224,7 @@ def align_lines(
         ref_wkbs = list(
             dict.fromkeys(bytes(b) for b in pdf["ref_wkb"] if b is not None)
         )
-        ring_sets = [rings_from_wkb(b) for b in ref_wkbs]
+        ring_sets = rings_from_wkb_hybrid(ref_wkbs)
         edges = (
             np.vstack([_edges(rs) for rs in ring_sets if rs])
             if any(ring_sets)

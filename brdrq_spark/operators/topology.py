@@ -41,7 +41,7 @@ from pyspark.sql import types as T
 
 from brdrq_spark.geom import boolean_op, rings_area, rings_from_wkb, rings_to_wkb
 from brdrq_spark.geom.core import _edges
-from brdrq_spark.geom.wkb import rings_from_wkb_batch
+from brdrq_spark.geom.wkb import rings_from_wkb_batch, rings_from_wkb_hybrid
 from brdrq_spark.grid import cell_cover_bbox, pick_resolution
 from brdrq_spark.operators.network import _densify_with_mask
 from brdrq_spark.operators.snaplines import _snap_vertices
@@ -198,7 +198,7 @@ def _make_snap_kernel(rd: float, max_seg: float):
         ref_wkbs = list(
             dict.fromkeys(bytes(w) for w in pdf["ref_wkb"] if w is not None)
         )
-        ref_sets = [s for s in (rings_from_wkb(w) for w in ref_wkbs) if s]
+        ref_sets = [s for s in rings_from_wkb_hybrid(ref_wkbs) if s]
         all_ref = [rr for refs in ref_sets for rr in refs]
         dense, orig = _densify_with_mask(np.vstack([a, b]), max_seg)
         if all_ref:
