@@ -152,7 +152,13 @@ def _walk_polygon_batch(wkbs):
         a = np.nonzero(active)[0]
         c = cur[a]
         pord = npolys[a] - polys_left[a]  # 0-based polygon ordinal
-        hdr_ok = (c + 9 <= ends[rows[a]]) & (u8[c] == 1)
+        # bounds mask BEFORE the byte gather: a corrupt multipolygon
+        # whose npolys overcounts its content walks the cursor to (or
+        # past) end-of-buffer — when that row is the batch's last, an
+        # unguarded u8[c] would IndexError out of the walk instead of
+        # routing the row to the per-row fallback
+        in_b = c + 9 <= ends[rows[a]]
+        hdr_ok = in_b & (u8[np.where(in_b, c, 0)] == 1)
         ptype = u32_at(np.where(hdr_ok, c, 0) + 1)
         pz = ptype // 1000
         hdr_ok &= (ptype % 1000 == _WKB_POLYGON) & (pz <= 3)

@@ -65,20 +65,20 @@ def knn_boundary_segments(
     # sub-group sizing is per theme: n_groups = ceil(candidates / cap),
     # assignment by hash so every ref lands in exactly one group (no
     # duplicate (vertex, segment) rows to dedup at merge time). The
-    # per-theme count comes from a groupBy aggregate joined back — an
-    # unbounded Window.partitionBy here would shuffle every pair column
-    # through a window stage just to attach one small number. No forced
-    # broadcast: the aggregate is (theme_id, count) so AQE broadcasts it
-    # when it is small, while a billion-theme run keeps the shuffle join
-    # instead of collecting the counts to the driver
-    pairs = pairs.join(
-        pairs.groupBy("theme_id").agg(
-            F.greatest(
-                F.ceil(F.count("*") / F.lit(max_refs_per_group)), F.lit(1)
-            ).alias("_ngroups")
-        ),
-        "theme_id",
-    ).withColumn("_sub", F.pmod(F.xxhash64("ref_id"), F.col("_ngroups")).cast("int"))
+    # count is attached by a window over the pair table — deliberately
+    # NOT a groupBy + self-join: pairs is exactly two narrow key
+    # columns, so the window shuffles ~30 bytes/row once, while a
+    # self-join against its own aggregate re-executes the whole
+    # decode + cell-join + distinct subtree twice (measured on the
+    # executed plan: 4 MapInPandas nodes and 0 ReusedExchange vs 2
+    # MapInPandas for the single-pass window shape)
+    wcnt = Window.partitionBy("theme_id")
+    n_groups = F.greatest(
+        F.ceil(F.count("*").over(wcnt) / F.lit(max_refs_per_group)), F.lit(1)
+    )
+    pairs = pairs.withColumn(
+        "_sub", F.pmod(F.xxhash64("ref_id"), n_groups).cast("int")
+    )
     t = theme_df.select("theme_id", F.col("geom_wkb").alias("theme_wkb"))
     r = ref_df.select("ref_id", F.col("geom_wkb").alias("ref_wkb"))
     grouped = (

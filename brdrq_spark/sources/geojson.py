@@ -316,19 +316,38 @@ def write_geojson_parts(
     ``_``-prefixed so ``read_geojson`` on the directory skips it — a
     round-trip through ``read_geojson(path)`` returns every feature.
     Returns the index dict."""
-    import uuid as _uuid
-
-    from pyspark import StorageLevel
+    from pyspark import StorageLevel, TaskContext
 
     gj_df = df.withColumn("_gj", wkb_to_geojson_udf(F.col(geom_col)))
 
     def to_fc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def clean(v):
+            # JSON-safe property conversion: pandas hands back numpy
+            # scalars, ndarrays (array columns), Timestamps, Decimals,
+            # NaN/NaT — json.dumps chokes on all of them, and bare
+            # NaN/Infinity tokens are not valid strict JSON anyway
             if isinstance(v, (bytes, bytearray)):
                 return v.hex()
             if isinstance(v, np.generic):
-                return v.item()
-            return v
+                v = v.item()
+            if isinstance(v, np.ndarray):
+                return [clean(x) for x in v.tolist()]
+            if isinstance(v, (list, tuple)):
+                return [clean(x) for x in v]
+            if isinstance(v, dict):
+                return {str(k): clean(x) for k, x in v.items()}
+            if v is None or isinstance(v, (bool, int, str)):
+                return v
+            if isinstance(v, float):
+                return v if np.isfinite(v) else None
+            try:
+                if pd.isna(v):  # NaT and friends
+                    return None
+            except (TypeError, ValueError):
+                pass
+            if hasattr(v, "isoformat"):  # Timestamp / date / time
+                return v.isoformat()
+            return str(v)  # Decimal and anything else stringifies
 
         feats: list[dict] = []
         for pdf in it:
@@ -346,7 +365,13 @@ def write_geojson_parts(
                 )
         if not feats:
             return
-        part_id = _uuid.uuid4().hex
+        # DETERMINISTIC part id (the Spark partition ordinal): the index
+        # collect() and the text write are two actions over the persisted
+        # rows, and a lost block recomputes the partition between them —
+        # a random id would then disagree between _index.json and the
+        # file's embedded id, leaving consumers with phantom parts
+        ctx = TaskContext.get()
+        part_id = f"part-{ctx.partitionId():05d}" if ctx else "part-00000"
         fc = {
             "type": "FeatureCollection",
             "part_id": part_id,

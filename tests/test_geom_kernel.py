@@ -348,6 +348,8 @@ def test_polygon_bboxes_batch_equivalence():
         assert tuple(bb[k]) == _bbox(rings_from_wkb(cases[k]))
 
     # exotic shapes -> fallback, never silent garbage
+    good = rings_to_wkb([np.array(sq[:-1], float)])
+    overcount = good[:5] + struct.pack("<I", 2) + good[9:]  # npolys 1->2
     exotic = [
         struct.pack(">BII", 0, 3, 1)                  # big-endian
         + struct.pack(">I", 5)
@@ -355,8 +357,14 @@ def test_polygon_bboxes_batch_equivalence():
         lines_to_wkb([np.array(sq, float)]),          # linestring
         raw_poly([sq])[:30],                          # truncated
         struct.pack("<BII", 1, 99, 1),                # unknown type
+        # cursor walks to end-of-buffer with polys_left > 0: must take
+        # the fallback path even as the batch's LAST row (an unguarded
+        # header-byte gather used to IndexError out of the walk here)
+        overcount,
     ]
     _, _, fb = polygon_bboxes_batch(exotic)
+    assert fb.all()
+    _, _, fb = polygon_bboxes_batch([overcount])
     assert fb.all()
 
 

@@ -79,3 +79,77 @@ def test_boolean_op_multi_matches_separate_ops(seed):
     assert rings_area(dplus) + rings_area(dmin) == pytest.approx(
         rings_area(multi[4]), abs=1e-6
     )
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_batch_decoders_match_scalar_on_random_wkb(seed):
+    """Seeded fuzz: raw WKB assembled from random ring soups (mixed
+    polygon/multipolygon, Z/M dims, duplicate and near-duplicate
+    vertices, unclosed rings, wrong orientations, empty containers) —
+    the batch decoders must be bit-identical to the per-row path for
+    every row, and route anything else to fallback rather than crash."""
+    import struct
+
+    from brdrq_spark.geom import bbox as _bbox
+    from brdrq_spark.geom.wkb import (
+        polygon_bboxes_batch,
+        rings_from_wkb,
+        rings_from_wkb_batch,
+    )
+
+    rng = np.random.default_rng(100 + seed)
+
+    def rand_ring(n):
+        pts = np.round(
+            np.column_stack(
+                [rng.uniform(-50, 50, n), rng.uniform(-50, 50, n)]
+            ),
+            rng.integers(0, 8),  # varied precision -> snap collisions
+        )
+        if rng.random() < 0.3 and n > 2:
+            pts[rng.integers(1, n)] = pts[0]  # planted duplicate vertex
+        if rng.random() < 0.5:
+            pts = np.vstack([pts, pts[:1]])  # sometimes closed
+        if rng.random() < 0.5:
+            pts = pts[::-1]  # random orientation
+        return pts
+
+    def raw(rings, gt, zdim=0):
+        nd = {0: 2, 1: 3, 3: 4}[zdim]
+        parts = [struct.pack("<BII", 1, gt + 1000 * zdim, len(rings))]
+        for r in rings:
+            r3 = np.column_stack([r] + [np.full(len(r), 7.0)] * (nd - 2))
+            parts.append(struct.pack("<I", len(r)))
+            parts.append(r3.astype("<f8").tobytes())
+        return b"".join(parts)
+
+    wkbs = []
+    for _ in range(40):
+        kind = rng.integers(0, 4)
+        zdim = int(rng.choice([0, 0, 0, 1, 3]))
+        if kind == 0:  # plain polygon, 1-3 rings
+            wkbs.append(
+                raw([rand_ring(rng.integers(3, 12)) for _ in range(rng.integers(1, 4))],
+                    3, zdim)
+            )
+        elif kind == 1:  # multipolygon of 0-3 polygons
+            npoly = rng.integers(0, 4)
+            body = b"".join(
+                raw([rand_ring(rng.integers(3, 10))], 3, zdim) for _ in range(npoly)
+            )
+            wkbs.append(struct.pack("<BII", 1, 6, npoly) + body)
+        elif kind == 2:  # degenerate: tiny/collapsed rings
+            wkbs.append(raw([rand_ring(3), np.zeros((3, 2))], 3, 0))
+        else:
+            wkbs.append(None if rng.random() < 0.5 else b"")
+
+    got_rings = rings_from_wkb_batch(wkbs)
+    bb, nv, fb = polygon_bboxes_batch(wkbs)
+    assert not fb.any()  # all generated shapes are walkable
+    for k, w in enumerate(wkbs):
+        exp = rings_from_wkb(w)
+        assert len(got_rings[k]) == len(exp) == nv[k], k
+        for g, e in zip(got_rings[k], exp):
+            assert g.shape == e.shape and (g == e).all(), k
+        if exp:
+            assert tuple(bb[k]) == _bbox(exp), k

@@ -411,7 +411,15 @@ def test_write_geojson_parts_roundtrip_large(spark, tmp_path):
     sq = rings_to_wkb([np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]])])
     df = (
         spark.range(n)
-        .selectExpr("cast(id as string) AS fid", "id % 7 AS grp")
+        .selectExpr(
+            "cast(id as string) AS fid",
+            "id % 7 AS grp",
+            # exercise the JSON-safe property conversion: timestamps,
+            # arrays, and NaN doubles all previously crashed json.dumps
+            "timestamp'2024-03-01 12:00:00' + make_interval(0,0,0,0,0,0,id%9) AS ts",
+            "array(cast(id AS double), 0.5) AS arr",
+            "CASE WHEN id % 11 = 0 THEN cast('NaN' AS double) ELSE id * 1.5 END AS score",
+        )
         .withColumn("geom_wkb", F.lit(sq))
         .repartition(16)
     )
@@ -420,6 +428,10 @@ def test_write_geojson_parts_roundtrip_large(spark, tmp_path):
     assert index["total_features"] == n
     assert index["n_parts"] >= 2
     assert sum(p["n_features"] for p in index["parts"]) == n
+    # deterministic part ids (partition ordinals, stable on recompute)
+    ids = [p["part_id"] for p in index["parts"]]
+    assert all(i.startswith("part-") and len(i) == 10 for i in ids)
+    assert len(set(ids)) == len(ids)
 
     back = read_geojson(spark, out, id_field="fid")
     assert back.count() == n
@@ -427,5 +439,9 @@ def test_write_geojson_parts_roundtrip_large(spark, tmp_path):
         assert rings_from_wkb(r.geom_wkb)[0].shape == (4, 2)
         assert r.props["grp"] in {str(i) for i in range(7)}
         assert r.feature_id == r.props["fid"]
+        assert r.props["ts"].startswith("2024-03-01T12:00:")
+        assert json.loads(r.props["arr"])[1] == 0.5
+        # NaN scores came through as JSON null, not a bare NaN token
+        assert r.props["score"] is None or float(r.props["score"]) >= 0.0
     # every feature id survives exactly once
     assert back.select("feature_id").distinct().count() == n
