@@ -260,6 +260,36 @@ def wkb_to_geojson_udf(wkb: pd.Series) -> pd.Series:
     return wkb.map(conv)
 
 
+def _json_safe(v):
+    """JSON-safe property conversion shared by BOTH GeoJSON writers:
+    collected Rows and Arrow-batch pandas hand back numpy scalars,
+    ndarrays (array columns), Timestamps, dates, Decimals, NaN/NaT —
+    json.dumps chokes on all of them, and bare NaN/Infinity tokens are
+    not valid strict JSON anyway."""
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, np.ndarray):
+        return [_json_safe(x) for x in v.tolist()]
+    if isinstance(v, (list, tuple)):
+        return [_json_safe(x) for x in v]
+    if isinstance(v, dict):
+        return {str(k): _json_safe(x) for k, x in v.items()}
+    if v is None or isinstance(v, (bool, int, str)):
+        return v
+    if isinstance(v, float):
+        return v if np.isfinite(v) else None
+    try:
+        if pd.isna(v):  # NaT and friends
+            return None
+    except (TypeError, ValueError):
+        pass
+    if hasattr(v, "isoformat"):  # Timestamp / date / time
+        return v.isoformat()
+    return str(v)  # Decimal and anything else stringifies
+
+
 def write_geojson(
     df: DataFrame, path: str, geom_col: str = "geom_wkb", max_rows: int = 100_000
 ) -> None:
@@ -285,7 +315,7 @@ def write_geojson(
         d = r.asDict(recursive=True)
         gj = d.pop("_gj")
         d.pop(geom_col, None)
-        props = {k: (v.hex() if isinstance(v, bytes) else v) for k, v in d.items()}
+        props = {k: _json_safe(v) for k, v in d.items()}
         feats.append(
             {
                 "type": "Feature",
@@ -321,34 +351,6 @@ def write_geojson_parts(
     gj_df = df.withColumn("_gj", wkb_to_geojson_udf(F.col(geom_col)))
 
     def to_fc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def clean(v):
-            # JSON-safe property conversion: pandas hands back numpy
-            # scalars, ndarrays (array columns), Timestamps, Decimals,
-            # NaN/NaT — json.dumps chokes on all of them, and bare
-            # NaN/Infinity tokens are not valid strict JSON anyway
-            if isinstance(v, (bytes, bytearray)):
-                return v.hex()
-            if isinstance(v, np.generic):
-                v = v.item()
-            if isinstance(v, np.ndarray):
-                return [clean(x) for x in v.tolist()]
-            if isinstance(v, (list, tuple)):
-                return [clean(x) for x in v]
-            if isinstance(v, dict):
-                return {str(k): clean(x) for k, x in v.items()}
-            if v is None or isinstance(v, (bool, int, str)):
-                return v
-            if isinstance(v, float):
-                return v if np.isfinite(v) else None
-            try:
-                if pd.isna(v):  # NaT and friends
-                    return None
-            except (TypeError, ValueError):
-                pass
-            if hasattr(v, "isoformat"):  # Timestamp / date / time
-                return v.isoformat()
-            return str(v)  # Decimal and anything else stringifies
-
         feats: list[dict] = []
         for pdf in it:
             # positional zip: itertuples would mangle the _gj column name
@@ -360,7 +362,7 @@ def write_geojson_parts(
                     {
                         "type": "Feature",
                         "geometry": json.loads(gj) if gj else None,
-                        "properties": {c: clean(v) for c, v in vals.items()},
+                        "properties": {c: _json_safe(v) for c, v in vals.items()},
                     }
                 )
         if not feats:

@@ -445,3 +445,32 @@ def test_write_geojson_parts_roundtrip_large(spark, tmp_path):
         assert r.props["score"] is None or float(r.props["score"]) >= 0.0
     # every feature id survives exactly once
     assert back.select("feature_id").distinct().count() == n
+
+
+def test_write_geojson_single_file_json_safe(spark, tmp_path):
+    """The single-file writer shares _json_safe with the sharded one:
+    timestamp / NaN / array columns export as valid strict JSON instead
+    of crashing json.dump or emitting bare NaN tokens."""
+    from pyspark.sql import functions as F
+
+    from brdrq_spark.geom import rings_to_wkb
+    from brdrq_spark.sources.geojson import write_geojson
+
+    sq = rings_to_wkb([np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]])])
+    df = spark.range(4).selectExpr(
+        "cast(id as string) AS fid",
+        "timestamp'2024-03-01 12:00:00' AS ts",
+        "CASE WHEN id = 0 THEN cast('NaN' AS double) ELSE cast(id * 1.5 AS double) END AS score",
+        "array(double(1.0), double(2.0)) AS arr",
+        "cast(3.14 AS decimal(4,2)) AS dec",  # Decimal stringifies
+    ).withColumn("geom_wkb", F.lit(sq))
+    out = tmp_path / "single.geojson"
+    write_geojson(df, str(out))
+    back = json.loads(out.read_text())  # strict parse: no NaN tokens
+    assert len(back["features"]) == 4
+    props = {f["properties"]["fid"]: f["properties"] for f in back["features"]}
+    assert props["0"]["score"] is None
+    assert props["1"]["score"] == 1.5
+    assert props["2"]["ts"].startswith("2024-03-01T12:00:00")
+    assert props["3"]["arr"] == [1.0, 2.0]
+    assert props["3"]["dec"] == "3.14"
