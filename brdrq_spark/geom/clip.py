@@ -121,12 +121,155 @@ def _intersection_ys(E: np.ndarray) -> np.ndarray:
     return np.round(yy * _INV_SNAP) * SNAP
 
 
+_SMALL_TRAP_VERTS = 16
+
+
 def _trap_table(a_rings: list[np.ndarray], b_rings: list[np.ndarray]):
     """Shared scanbeam table for one (a, b) pair — the expensive half of
     a boolean op (edge collection, crossing enumeration, beam spans,
     winding cumsums). Returns None when there are no edges, else a tuple
     consumed by ``_traps_from_table``; several ops over the SAME operand
-    pair reuse one table (``boolean_op_multi``)."""
+    pair reuse one table (``boolean_op_multi``).
+
+    HYBRID dispatch (the same pattern as ``_stitch``): parcel-sized
+    pairs (<= ``_SMALL_TRAP_VERTS`` raw vertices, the dominant case in
+    the alignment sweep at ~25 table builds per theme) take a scalar
+    scanbeam whose ~15 numpy dispatches would otherwise cost more than
+    the arithmetic (measured 73 us vs 206 us on a 4+4-vertex pair,
+    crossover ~16-20 vertices); bigger inputs and capsule blocks keep
+    the vectorized path. The scalar path is pinned BIT-IDENTICAL to the
+    vectorized one (same float expression order, same stable sort keys
+    — see test_geom_properties) so the choice is invisible downstream."""
+    n_verts = 0
+    for rings in (a_rings, b_rings):
+        for ring in rings:
+            if ring.ndim == 3:  # capsule blocks: vectorized path only
+                n_verts = _SMALL_TRAP_VERTS + 1
+                break
+            n_verts += len(ring)
+        if n_verts > _SMALL_TRAP_VERTS:
+            break
+    if n_verts <= _SMALL_TRAP_VERTS:
+        return _trap_table_small(a_rings, b_rings)
+    return _trap_table_np(a_rings, b_rings)
+
+
+def _trap_table_small(a_rings: list[np.ndarray], b_rings: list[np.ndarray]):
+    """Scalar scanbeam table for SMALL inputs; value-for-value identical
+    to ``_trap_table_np`` — same float expression order for crossings
+    and beam x's, same (i, j) role assignment in the bminx-sorted
+    crossing sweep, and an explicit edge-major ordinal in the row sort
+    key because np.lexsort is STABLE: coincident edges (shared parcel
+    borders) must keep their original order or the winding cumsums
+    reorder."""
+    from bisect import bisect_left
+
+    segs = []  # (x0, y0, x1, y1, tag, dw)
+    for rings, tag in ((a_rings, 0), (b_rings, 1)):
+        for ring in rings:
+            r = snap_ring(ring)
+            m = len(r)
+            if m < 3:
+                continue
+            pts = r.tolist()
+            prev = pts[0]
+            for i in range(m):
+                x0, y0 = prev
+                prev = pts[(i + 1) % m]
+                x1, y1 = prev
+                if y0 != y1:
+                    segs.append(
+                        (x0, y0, x1, y1, tag, 1 if y1 > y0 else -1)
+                    )
+    if not segs:
+        return None
+    n = len(segs)
+    ymin = [min(s[1], s[3]) for s in segs]
+    ymax = [max(s[1], s[3]) for s in segs]
+    bxmin = [min(s[0], s[2]) for s in segs]
+    bxmax = [max(s[0], s[2]) for s in segs]
+    order = sorted(range(n), key=lambda k: bxmin[k])
+    ys = set()
+    for ii in range(n):
+        i = order[ii]
+        bx = bxmax[i]
+        for jj in range(ii + 1, n):
+            j = order[jj]
+            if bxmin[j] > bx:
+                break
+            if ymin[i] > ymax[j] or ymin[j] > ymax[i]:
+                continue
+            dxi = segs[i][2] - segs[i][0]
+            dyi = segs[i][3] - segs[i][1]
+            dxj = segs[j][2] - segs[j][0]
+            dyj = segs[j][3] - segs[j][1]
+            denom = dxi * dyj - dyi * dxj
+            if denom == 0:
+                continue
+            wx = segs[j][0] - segs[i][0]
+            wy = segs[j][1] - segs[i][1]
+            t = (wx * dyj - wy * dxj) / denom
+            u = (wx * dyi - wy * dxi) / denom
+            if 0 < t < 1 and 0 < u < 1:
+                yy = segs[i][1] + t * dyi
+                ys.add(round(yy * _INV_SNAP) * SNAP)
+    events = sorted(set(ymin) | set(ymax) | ys)
+    if len(events) < 2:
+        return None
+    rows = []
+    for e in range(n):
+        x0, y0, x1, y1, tg, dw = segs[e]
+        i0 = bisect_left(events, ymin[e])
+        i1 = bisect_left(events, ymax[e])
+        einv = 1.0 / (y1 - y0)
+        edx = x1 - x0
+        for b in range(i0, i1):
+            xlo = x0 + (events[b] - y0) * einv * edx
+            xhi = x0 + (events[b + 1] - y0) * einv * edx
+            rows.append(
+                (b, 0.5 * (xlo + xhi), xlo, xhi, len(rows), tg, dw)
+            )
+    if not rows:
+        return None
+    rows.sort()
+    bs_l = []
+    xlo_l = []
+    xhi_l = []
+    ia_l = []
+    ib_l = []
+    ge_l = []
+    wa = wb = 0
+    prev_b = -1
+    for b, _xm, xlo, xhi, _k, tg, dw in rows:
+        if b != prev_b:
+            wa = wb = 0
+            if bs_l:
+                ge_l[-1] = True
+            prev_b = b
+        if tg == 0:
+            wa += dw
+        else:
+            wb += dw
+        bs_l.append(b)
+        xlo_l.append(xlo)
+        xhi_l.append(xhi)
+        ia_l.append(wa != 0)
+        ib_l.append(wb != 0)
+        ge_l.append(False)
+    ge_l[-1] = True
+    return (
+        np.asarray(events),
+        np.asarray(bs_l, dtype=np.int64),
+        np.asarray(xlo_l),
+        np.asarray(xhi_l),
+        np.asarray(ia_l, dtype=bool),
+        np.asarray(ib_l, dtype=bool),
+        np.asarray(ge_l, dtype=bool),
+    )
+
+
+def _trap_table_np(a_rings: list[np.ndarray], b_rings: list[np.ndarray]):
+    """Vectorized scanbeam table (the original path; see _trap_table)."""
     segs: list = []
     tags: list = []
     _collect_edges(a_rings, 0, segs, tags)

@@ -153,3 +153,43 @@ def test_batch_decoders_match_scalar_on_random_wkb(seed):
             assert g.shape == e.shape and (g == e).all(), k
         if exp:
             assert tuple(bb[k]) == _bbox(exp), k
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_small_trap_table_bit_identical(seed):
+    """The scalar small-input scanbeam table must be BIT-identical to
+    the vectorized one — including coincident shared edges (stable sort
+    order drives the winding cumsums) and identical operands."""
+    from brdrq_spark.geom.clip import _trap_table_np, _trap_table_small
+
+    def eq(t1, t2):
+        if t1 is None or t2 is None:
+            return t1 is None and t2 is None
+        return all(
+            np.array_equal(np.asarray(x), np.asarray(y))
+            for x, y in zip(t1, t2)
+        )
+
+    rng = np.random.default_rng(200 + seed)
+    rect = lambda x0, y0, x1, y1: np.array(
+        [[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=float
+    )
+    adversarial = [
+        ([rect(0, 0, 10, 10)], [rect(0, 0, 10, 10)]),        # a == b
+        ([rect(0, 0, 10, 10)], [rect(10, 0, 20, 10)]),       # shared edge
+        ([rect(0, 0, 10, 10)], [rect(0, 10, 10, 20)]),       # shared horiz
+        ([rect(0, 0, 10, 10), rect(0, 0, 10, 10)[::-1]], [rect(2, 2, 8, 8)]),
+        ([rect(0, 0, 10, 10)], []),
+        ([], []),
+    ]
+    for a, b in adversarial:
+        assert eq(_trap_table_small(a, b), _trap_table_np(a, b))
+    for _ in range(60):
+        a = [star_poly(rng, 0, 0, 1, 6, rng.integers(3, 8))]
+        b = [
+            star_poly(
+                rng, rng.uniform(-3, 3), rng.uniform(-3, 3), 1, 6,
+                rng.integers(3, 8),
+            )
+        ]
+        assert eq(_trap_table_small(a, b), _trap_table_np(a, b))
