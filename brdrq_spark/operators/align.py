@@ -62,7 +62,6 @@ from brdrq_spark.geom.wkb import polygon_bboxes_batch, rings_from_wkb_hybrid
 from brdrq_spark.geom.coarse import snap_normalize
 from brdrq_spark.geom.clip import area_of_op
 from brdrq_spark.grid import cell_cover_bbox, pick_resolution
-from brdrq_spark.operators.candidates import candidate_pairs
 
 _TINY = 1e-6  # m²; below = empty for relevance purposes
 

@@ -39,7 +39,7 @@ from brdrq_spark.geom import boolean_op, rings_area, rings_from_wkb, rings_to_wk
 from brdrq_spark.geom.wkb import rings_from_wkb_hybrid
 from brdrq_spark.geom.core import _edges
 from brdrq_spark.operators.align import AlignConfig, align_candidate_rows
-from brdrq_spark.operators.snaplines import SNAP_NO_PREFERENCE, _snap_vertices, densify
+from brdrq_spark.operators.snaplines import SNAP_NO_PREFERENCE, _snap_vertices
 
 # Processor ids mirror the reference enum (brdrq_utils.py:102-111;
 # topology is registered at :229). Dieussaert is commented out of the

@@ -29,12 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from brdrq_spark.geom.core import _edges, _seg_point_dist2
-from brdrq_spark.geom.wkb import (
-    lines_from_wkb,
-    lines_to_wkb,
-    rings_from_wkb,
-    rings_from_wkb_hybrid,
-)
+from brdrq_spark.geom.wkb import lines_from_wkb, lines_to_wkb, rings_from_wkb_hybrid
 from brdrq_spark.grid import pick_resolution
 
 

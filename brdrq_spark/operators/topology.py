@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from brdrq_spark.geom import boolean_op, rings_area, rings_from_wkb, rings_to_wkb
+from brdrq_spark.geom import boolean_op, rings_area, rings_to_wkb
 from brdrq_spark.geom.core import _edges
 from brdrq_spark.geom.wkb import rings_from_wkb_batch, rings_from_wkb_hybrid
 from brdrq_spark.grid import cell_cover_bbox, pick_resolution
