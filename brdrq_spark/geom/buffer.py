@@ -167,6 +167,108 @@ def erode_area(rings: list[np.ndarray], d: float, nseg: int = 16) -> float:
     )
 
 
+_TINY = 1e-6  # m²; the relevance-decision emptiness threshold (align._TINY)
+# Certificate safety margin (m / m²). Snap rounding perturbs vertices by
+# <= SNAP/sqrt(2) ~ 7e-7 m and can leave O(perimeter*SNAP) ~ 1e-4 m²
+# residue in a trapezoid table; 1e-3 dominates both by ~10x, so a
+# certificate can only fire where the exact table's decision is the
+# same. Anything inside the margin band falls through to the table.
+_CERT_MARGIN = 1e-3
+
+
+def erode_nonempty(rings: list[np.ndarray], d: float, nseg: int = 16) -> bool:
+    """Decision-only erosion test: ``erode_area(rings, d, nseg) > _TINY``
+    without building a scanbeam table when a cheap certificate settles it.
+
+    The align kernel's full/sliver relevance decisions (the measured hot
+    path: ~80% of kernel time was capsule-block trapezoid tables,
+    BASELINE.md round-5 census) only consume this boolean, never the
+    area. Two rigorous certificates decide ~2/3 of the calls from
+    shoelace sums alone; the rest take the exact table:
+
+    * NONEMPTY: the capsules can remove at most
+      ``2d*perimeter + n_vertices*pi*d^2`` (each edge rectangle is
+      exactly ``2d*len``; each join disk is an inscribed N-gon < pi*d^2,
+      and "interior" pruning only drops disks) — if
+      ``area - that > _TINY + margin``, something must survive.
+    * EMPTY: a survivor point lies farther than ``d' = d*cos(pi/nseg)``
+      (the N-gon disk inradius) from the boundary, so its component
+      contains a d'-disk, which needs ``area >= pi*d'^2`` and a bbox
+      >= 2d' in both axes. When every CCW ring fails one of those (and
+      the CCW rings are pairwise bbox-disjoint, so a disk cannot span
+      two of them), nothing survives.
+
+    Both are margin-guarded against snap rounding (``_CERT_MARGIN``), so
+    the boolean is always the one the exact table would produce —
+    pinned by the adversarial equivalence sweep in
+    tests/test_geom_properties.py.
+    """
+    if not rings or d <= 0:
+        return erode_area(rings, d, nseg) > _TINY
+    area = 0.0
+    perim = 0.0
+    nv = 0
+    outers: list[tuple[float, float, float, float, float]] = []
+    holes: list[tuple[float, float, float, float]] = []
+    for ring in rings:
+        if ring.ndim != 2 or len(ring) < 3:
+            return erode_area(rings, d, nseg) > _TINY
+        x = ring[:, 0]
+        y = ring[:, 1]
+        a = 0.5 * (np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+        dx = np.roll(x, -1) - x
+        dy = np.roll(y, -1) - y
+        area += a
+        perim += float(np.hypot(dx, dy).sum())
+        nv += len(ring)
+        if a > 0:  # CCW outer
+            outers.append(
+                (float(x.min()), float(y.min()), float(x.max()), float(y.max()), a)
+            )
+        else:
+            holes.append(
+                (float(x.min()), float(y.min()), float(x.max()), float(y.max()))
+            )
+    # The scanbeam fills by NONZERO winding, so a CW ring outside every
+    # CCW ring is a filled region, not a hole. The EMPTY certificate
+    # reasons about CCW ring polygons only — it is valid only for
+    # orientation-normalized input (every CW ring nested in a CCW one,
+    # checked by bbox containment); anything else takes the exact table.
+    normalized = all(
+        any(
+            h[0] >= o[0] and h[1] >= o[1] and h[2] <= o[2] and h[3] <= o[3]
+            for o in outers
+        )
+        for h in holes
+    )
+    # NONEMPTY certificate: removal upper bound can't reach the area
+    if area - 2.0 * d * perim - nv * np.pi * d * d > _TINY + _CERT_MARGIN:
+        return True
+    # EMPTY certificate: no CCW ring can hold a d'-disk. Valid only when
+    # a disk cannot span two CCW rings — i.e. there is one CCW ring, or
+    # they are pairwise bbox-separated (with margin), hence disjoint.
+    dp = d * float(np.cos(np.pi / nseg))
+    fits = any(
+        min(o[2] - o[0], o[3] - o[1]) >= 2.0 * dp - _CERT_MARGIN
+        and o[4] >= np.pi * dp * dp - _CERT_MARGIN
+        for o in outers
+    )
+    if not fits and normalized:
+        disjoint = all(
+            (
+                oi[2] < oj[0] - _CERT_MARGIN
+                or oj[2] < oi[0] - _CERT_MARGIN
+                or oi[3] < oj[1] - _CERT_MARGIN
+                or oj[3] < oi[1] - _CERT_MARGIN
+            )
+            for i, oi in enumerate(outers)
+            for oj in outers[i + 1 :]
+        )
+        if disjoint:
+            return False
+    return erode_area(rings, d, nseg) > _TINY
+
+
 def open_rings(rings: list[np.ndarray], d: float, nseg: int = 32) -> list[np.ndarray]:
     return buffer_rings(erode_rings(rings, d, nseg), d, nseg)
 

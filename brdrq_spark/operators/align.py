@@ -57,7 +57,7 @@ from brdrq_spark.geom import (
     rings_perimeter,
     rings_to_wkb,
 )
-from brdrq_spark.geom.buffer import close_rings, erode_area, open_rings
+from brdrq_spark.geom.buffer import close_rings, erode_nonempty, open_rings
 from brdrq_spark.geom.wkb import polygon_bboxes_batch, rings_from_wkb_hybrid
 from brdrq_spark.geom.coarse import snap_normalize
 from brdrq_spark.geom.clip import area_of_op
@@ -183,7 +183,7 @@ def inradius(rings, nseg: int = 6, iters: int = 9) -> float:
     lo = 0.0
     for _ in range(iters):
         mid = 0.5 * (lo + hi)
-        if erode_area(rings, mid, nseg) > _TINY:
+        if erode_nonempty(rings, mid, nseg):
             lo = mid
         else:
             hi = mid
@@ -251,7 +251,7 @@ def _align_one(theme_rings, ref_ring_sets, rd: float, cfg: AlignConfig, pre=None
         full = (
             p["r_uncov"] <= half
             if p["r_uncov"] is not None
-            else erode_area(p["uncov"], half, cfg.nseg) <= _TINY
+            else not erode_nonempty(p["uncov"], half, cfg.nseg)
         )
         if full:  # uncovered part erodes away → snap to the full parcel
             kept.extend(refs)
@@ -261,7 +261,7 @@ def _align_one(theme_rings, ref_ring_sets, rd: float, cfg: AlignConfig, pre=None
         sliver = (
             p["r_inter"] <= half
             if p["r_inter"] is not None
-            else erode_area(inter, half, cfg.nseg) <= _TINY
+            else not erode_nonempty(inter, half, cfg.nseg)
         )
         if sliver:  # the overlap itself is a sliver
             if p["pct"] >= cfg.threshold_overlap_percentage:

@@ -193,3 +193,68 @@ def test_small_trap_table_bit_identical(seed):
             )
         ]
         assert eq(_trap_table_small(a, b), _trap_table_np(a, b))
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_erode_nonempty_matches_exact(seed):
+    """The certificate-screened erosion decision must equal the exact
+    table's decision on every input — realistic uncov/inter shapes
+    (boolean-op leftovers), thin slivers straddling the 2d' width
+    threshold, bent L/U slivers a bbox bound can't see, multi-lobe
+    sets, holes, and unnormalized (lone-CW) input."""
+    from brdrq_spark.geom.buffer import _TINY, erode_area, erode_nonempty
+
+    def check(rings, d, nseg=8):
+        assert erode_nonempty(rings, d, nseg) == (
+            erode_area(rings, d, nseg) > _TINY
+        ), (d, nseg, [r.tolist() for r in rings])
+
+    rng = np.random.default_rng(7000 + seed)
+    rect = lambda x0, y0, x1, y1: np.array(
+        [[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=float
+    )
+    dp = 1.0 * np.cos(np.pi / 8)  # d'=0.924 at d=1, nseg=8
+    adversarial = [
+        # widths straddling the survival threshold 2d'
+        [rect(0, 0, 30, 2 * dp - 0.01)],
+        [rect(0, 0, 30, 2 * dp + 0.05)],
+        [rect(0, 0, 30, 2 * dp)],  # inside the margin band: must fall back
+        # bent L-sliver: big bbox, nothing survives
+        [np.array([[0, 0], [30, 0], [30, 30], [29, 30], [29, 1], [0, 1]], float)],
+        # U-sliver around three sides
+        [np.array(
+            [[0, 0], [30, 0], [30, 30], [0, 30], [0, 29], [29, 29], [29, 1], [0, 1]],
+            float,
+        )],
+        # two disjoint lobes, neither fits a disk
+        [rect(0, 0, 30, 1), rect(0, 10, 1, 40)],
+        # two lobes, one fat
+        [rect(0, 0, 30, 1), rect(0, 10, 5, 40)],
+        # square with a hole leaving a thin annulus
+        [rect(0, 0, 10, 10), rect(1, 1, 9, 9)[::-1]],
+        # square with a small hole (survives)
+        [rect(0, 0, 10, 10), rect(4, 4, 6, 6)[::-1]],
+        # unnormalized: lone CW ring is a FILLED region under nonzero
+        # winding — the certificate must not call it empty
+        [rect(0, 0, 10, 10)[::-1]],
+        # empty / degenerate
+        [],
+        [np.zeros((3, 2))],
+    ]
+    for rings in adversarial:
+        for d in (0.05, 0.5, 1.0, 3.0):
+            check(rings, d)
+    # realistic relevance-test shapes: uncov = parcel \ jittered copy
+    # (jitter snapped to 0.25 to keep the EXACT reference path fast —
+    # unsnapped jitter breeds micro-lobe messes whose reference
+    # erode_area table takes seconds; decisions were verified equal
+    # there too, just too slowly for CI)
+    for _ in range(8):
+        a = normalize([star_poly(rng, 0, 0, 4, 9, rng.integers(5, 12))])
+        jit = [r + np.round(rng.uniform(-1, 1, r.shape) * 4) / 4 for r in a]
+        uncov = boolean_op(a, normalize(jit), "difference")
+        inter = boolean_op(a, normalize(jit), "intersection")
+        for rings in (uncov, inter):
+            for d in (0.25, 1.0):
+                for nseg in (8, 16):
+                    check(rings, d, nseg)
