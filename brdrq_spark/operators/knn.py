@@ -8,9 +8,14 @@ the dilated cover by construction), then a grouped pandas kernel does
 the exact vectorized point-segment distances — a per-partition index
 without any cross-partition traffic. Vertices with no candidate segment
 within the radius are ABSENT from the output (no rank-0 placeholder
-rows): a caller implementing the expanding-ring retry should anti-join
-the output back against the vertex set to find the uncovered vertices,
-then rerun those with a wider rd.
+rows); ``knn_with_escalation`` wraps the search in the expanding-ring
+retry (SURVEY §2.3 J6: "search ring r, r+1…"): it anti-joins the
+output against the vertex set and re-runs only the uncovered vertices'
+themes at a widened radius (r, growth·r, growth²·r … capped), so
+sparse-area vertices (rural parcels, map edges — the reference's
+bbox-then-refine escalation always returns a candidate set,
+plugin/brdrq/brdrq_dockwidget_featurealigner.py:1653-1667) are found
+without hand-written retry loops.
 
 Skew ceiling removed (round-4): grouping by theme_id alone lets one
 giant theme in a dense area gather ALL its candidate segments into a
@@ -151,3 +156,93 @@ def knn_boundary_segments(
         per_group.withColumn("rank", F.row_number().over(wv))
         .where(F.col("rank") <= k)
     )
+
+
+def theme_vertices(theme_df: DataFrame) -> DataFrame:
+    """One row per polygon vertex: (theme_id, vertex_idx, vx, vy) —
+    the vertex enumeration the kNN kernel uses (np.vstack over rings),
+    so anti-joins against kNN output line up index-for-index."""
+
+    def explode(it):
+        for pdf in it:
+            tids: list[str] = []
+            idxs: list[int] = []
+            xs: list[float] = []
+            ys: list[float] = []
+            for tid, wkb in zip(pdf["theme_id"], pdf["geom_wkb"]):
+                rings = rings_from_wkb(wkb)
+                if not rings:
+                    continue
+                v = np.vstack(rings)
+                tids.extend([tid] * len(v))
+                idxs.extend(range(len(v)))
+                xs.extend(v[:, 0].tolist())
+                ys.extend(v[:, 1].tolist())
+            yield pd.DataFrame(
+                {"theme_id": tids, "vertex_idx": idxs, "vx": xs, "vy": ys}
+            )
+
+    return theme_df.select("theme_id", "geom_wkb").mapInPandas(
+        explode, schema="theme_id string, vertex_idx int, vx double, vy double"
+    )
+
+
+def knn_with_escalation(
+    spark: SparkSession,
+    theme_df: DataFrame,
+    ref_df: DataFrame,
+    k: int = 3,
+    search_radius: float = 10.0,
+    max_radius: float = 80.0,
+    growth: float = 2.0,
+    max_refs_per_group: int = 256,
+) -> DataFrame:
+    """Expanding-ring kNN (J6 escalation): run the bounded search at
+    ``search_radius``; vertices it leaves uncovered re-run at
+    ``growth * r``, then ``growth² * r`` … until ``max_radius``.
+
+    Each ring touches only the themes that still own uncovered
+    vertices (left-semi against the uncovered set), and keeps only the
+    uncovered vertices' rows — covered vertices never recompute and
+    never duplicate. Ranks within an escalated vertex's rows are the
+    ranks of its own ring's search, consistent with a fresh
+    ``knn_boundary_segments`` call at that radius. Vertices with no
+    reference segment within ``max_radius`` remain absent (the cap is
+    the caller's completeness/cost dial; the reference's interactive
+    escalation is likewise bounded by the canvas extent).
+
+    Driver-side loop: at most ``log_growth(max_radius/search_radius)``
+    rounds (4 at the defaults), each a lazy Spark job over a shrinking
+    theme subset — the common case (everything covered in ring 1) pays
+    one extra empty-anti-join count. Ring outputs persist so the next
+    ring's anti-join does not re-execute the prior ring's subtree."""
+    from pyspark import StorageLevel
+
+    verts = theme_vertices(theme_df)
+    out = knn_boundary_segments(
+        spark, theme_df, ref_df, k, search_radius, max_refs_per_group
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    acc = out
+    uncovered = verts.join(
+        out.select("theme_id", "vertex_idx"), ["theme_id", "vertex_idx"], "left_anti"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    r = search_radius * growth
+    while r <= max_radius and uncovered.limit(1).count() > 0:
+        themes_left = theme_df.join(
+            uncovered.select("theme_id").distinct(), "theme_id", "left_semi"
+        )
+        ring = knn_boundary_segments(
+            spark, themes_left, ref_df, k, r, max_refs_per_group
+        ).join(
+            uncovered.select("theme_id", "vertex_idx"),
+            ["theme_id", "vertex_idx"],
+            "left_semi",
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        acc = acc.unionByName(ring)
+        uncovered = uncovered.join(
+            ring.select("theme_id", "vertex_idx"),
+            ["theme_id", "vertex_idx"],
+            "left_anti",
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        r *= growth
+    return acc

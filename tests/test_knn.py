@@ -86,3 +86,76 @@ def test_knn_hot_theme_subgroups_match_single_group(spark):
     single = rows(10**9)
     split = rows(8)
     assert split == single and len(single) > 0
+
+
+def test_knn_expanding_ring_escalation(spark):
+    """Planted two-ring fixture: a spike vertex 10 m from the only
+    parcel is invisible at search_radius=6 and found exactly at the
+    second ring (r=12); covered vertices keep their ring-1 rows, the
+    escalated vertex's rows match a fresh wide search bit-for-bit, and
+    a theme beyond max_radius stays absent (the cap holds)."""
+    from brdrq_spark.operators.knn import knn_with_escalation
+
+    O = np.array([170100.0, 170100.0])
+    ref = pd.DataFrame(
+        [
+            {
+                "ref_id": "A",
+                "geom_wkb": rings_to_wkb(
+                    [np.array([[0.0, 0], [10, 0], [10, 10], [0, 10]]) + O]
+                ),
+            }
+        ]
+    )
+    tri = np.array([[11.0, 4.0], [20.0, 5.0], [11.0, 6.0]]) + O
+    th = pd.DataFrame(
+        [
+            {"theme_id": "t", "geom_wkb": rings_to_wkb([tri])},
+            # no reference within 1 km: absent from every ring
+            {
+                "theme_id": "orphan",
+                "geom_wkb": rings_to_wkb(
+                    [np.array([[900.0, 900], [901, 900], [900, 901]]) + O]
+                ),
+            },
+        ]
+    )
+    th_df = spark.createDataFrame(th)
+    ref_df = spark.createDataFrame(ref)
+
+    base = knn_boundary_segments(
+        spark, th_df, ref_df, k=2, search_radius=6.0
+    ).collect()
+    assert sorted({r.vertex_idx for r in base if r.theme_id == "t"}) == [0, 2]
+
+    out = knn_with_escalation(
+        spark, th_df, ref_df, k=2, search_radius=6.0, max_radius=48.0, growth=2.0
+    ).collect()
+    t_rows = [r for r in out if r.theme_id == "t"]
+    assert sorted({r.vertex_idx for r in t_rows}) == [0, 1, 2]
+    v1 = sorted((r for r in t_rows if r.vertex_idx == 1), key=lambda r: r.rank)
+    assert v1[0].dist == pytest.approx(10.0, abs=1e-9)
+    # the escalated vertex's rows equal a direct search at its ring radius
+    wide = knn_boundary_segments(
+        spark, th_df.where("theme_id = 't'"), ref_df, k=2, search_radius=12.0
+    ).collect()
+    assert sorted((r.rank, r.ref_id, r.seg_idx, round(r.dist, 9)) for r in v1) == sorted(
+        (r.rank, r.ref_id, r.seg_idx, round(r.dist, 9))
+        for r in wide
+        if r.vertex_idx == 1
+    )
+    # covered vertices did not recompute into duplicates
+    keys = [(r.theme_id, r.vertex_idx, r.rank) for r in out]
+    assert len(keys) == len(set(keys))
+    base_v0 = sorted(
+        (r.rank, r.ref_id, r.seg_idx, round(r.dist, 9))
+        for r in base
+        if r.theme_id == "t" and r.vertex_idx == 0
+    )
+    esc_v0 = sorted(
+        (r.rank, r.ref_id, r.seg_idx, round(r.dist, 9))
+        for r in t_rows
+        if r.vertex_idx == 0
+    )
+    assert esc_v0 == base_v0
+    assert not [r for r in out if r.theme_id == "orphan"]
