@@ -93,7 +93,19 @@ class CommittedTable:
         description, so it serializes both threads of one driver and
         separate driver processes on a shared POSIX mount (the same
         single-table-committer discipline Iceberg gets from its
-        catalog's atomic snapshot CAS)."""
+        catalog's atomic snapshot CAS).
+
+        Mount requirement: ``flock`` is dependable on local disk and
+        NFSv4-class mounts, but on NFSv3 it is emulated (or a no-op)
+        by some clients, and fuse object-store mounts may ignore it
+        entirely — so a POSIX ``lockf`` record lock is taken on the
+        same descriptor as well. Record locks travel over NFSv3's NLM
+        protocol, covering the cross-host case flock can miss; flock
+        covers same-host threads (one OFD per open), where per-process
+        record locks do not conflict. A mount honoring neither (some
+        fuse adapters) cannot give multi-DRIVER atomicity — use one
+        committing driver per table there (readers are always safe:
+        the snapshot swap is os.replace-atomic regardless)."""
         import fcntl
 
         row = {
@@ -107,10 +119,14 @@ class CommittedTable:
         with open(self.manifest_path + ".lock", "w") as lf:
             fcntl.flock(lf, fcntl.LOCK_EX)
             try:
+                fcntl.lockf(lf, fcntl.LOCK_EX)  # NFSv3-safe record lock
                 keys = self.committed_keys()
                 keys.add(key)
                 self._write_manifest(keys)
             finally:
+                # closing lf releases the record lock too; explicit
+                # unlock keeps the flock/lockf pairing symmetrical
+                fcntl.lockf(lf, fcntl.LOCK_UN)
                 fcntl.flock(lf, fcntl.LOCK_UN)
         return row
 

@@ -244,6 +244,58 @@ def test_manifest_concurrent_committers(tmp_path):
     assert reader_p.committed_keys() == {f"k{i:03d}" for i in range(100)}
 
 
+def test_manifest_reader_isolated_from_writer(tmp_path):
+    """Snapshot isolation for READERS: a reader polling the table while
+    a writer commits must always see a complete old or complete new
+    manifest, never a torn one (reference analogue: per-run workfolder
+    isolation, plugin/brdrq/brdrq_utils.py:903-932). The writer
+    publishes keys in order, so every consistent snapshot is exactly a
+    prefix {k000..k(n-1)} — a torn read surfaces as a JSON decode
+    error, a non-prefix key set, or a shrinking set. The writer-writer
+    race above covers committers; this covers the read path the flock
+    does NOT guard (committed_keys takes no lock by design — the
+    os.replace snapshot swap is what keeps readers safe)."""
+    import threading
+
+    from brdrq_spark.sources.manifest import CommittedTable
+
+    root = str(tmp_path / "tbl_reader")
+    writer = CommittedTable(root)
+    reader = CommittedTable(root)
+    N = 300
+    done = threading.Event()
+    failures: list[str] = []
+
+    def read_loop():
+        prev: set[str] = set()
+        reads = 0
+        while not done.is_set() or reads == 0:
+            try:
+                keys = reader.committed_keys()
+            except Exception as e:  # torn JSON would land here
+                failures.append(f"unreadable snapshot: {e!r}")
+                return
+            if not keys >= prev:
+                failures.append(f"snapshot shrank: {sorted(prev - keys)}")
+                return
+            if keys != {f"k{i:03d}" for i in range(len(keys))}:
+                failures.append(f"non-prefix snapshot: {sorted(keys)[:5]}…")
+                return
+            prev = keys
+            reads += 1
+        if reads < 50:  # the poll loop must actually have raced the writer
+            failures.append(f"only {reads} reads — test did not bite")
+
+    t = threading.Thread(target=read_loop)
+    t.start()
+    for i in range(N):
+        writer.publish_partition(f"k{i:03d}", i)
+    done.set()
+    t.join()
+    assert not failures, failures
+    assert reader.committed_keys() == {f"k{i:03d}" for i in range(N)}
+
+
 def test_submit_align_evaluate_mode(spark, tmp_path, capsys):
     """--evaluate runs the resumable sharded prediction sweep from the
     CLI; --auto-step is accepted there (O5 admission control) and
