@@ -140,12 +140,24 @@ def _auto_split(path: str, spark: SparkSession | None = None) -> bool:
             files = []
             for st in statuses:
                 if st.isDirectory():
-                    files += [
-                        sub
-                        for sub in fs.listStatus(st.getPath())
-                        if sub.isFile()
-                        and not sub.getPath().getName().startswith((".", "_"))
-                    ]
+                    # descend TWO levels: a dir-of-dirs (partitioned
+                    # export, e.g. write_geojson_parts per-key output)
+                    # must count its leaf files, not read as files==[]
+                    # and silently pay the split shuffle on many small
+                    # inputs
+                    for sub in fs.listStatus(st.getPath()):
+                        name = sub.getPath().getName()
+                        if name.startswith((".", "_")):
+                            continue
+                        if sub.isFile():
+                            files.append(sub)
+                        elif sub.isDirectory():
+                            files += [
+                                leaf
+                                for leaf in fs.listStatus(sub.getPath())
+                                if leaf.isFile()
+                                and not leaf.getPath().getName().startswith((".", "_"))
+                            ]
                 elif st.isFile():
                     files.append(st)
             if not files:
@@ -158,12 +170,19 @@ def _auto_split(path: str, spark: SparkSession | None = None) -> bool:
     files: list[str] = []
     for m in matches:
         if _os.path.isdir(m):
-            files += [
-                fp
-                for f in _os.listdir(m)
-                if not f.startswith((".", "_"))
-                and _os.path.isfile(fp := _os.path.join(m, f))
-            ]
+            for f in _os.listdir(m):
+                if f.startswith((".", "_")):
+                    continue
+                fp = _os.path.join(m, f)
+                if _os.path.isfile(fp):
+                    files.append(fp)
+                elif _os.path.isdir(fp):  # dir-of-dirs: count leaf files
+                    files += [
+                        lp
+                        for leaf in _os.listdir(fp)
+                        if not leaf.startswith((".", "_"))
+                        and _os.path.isfile(lp := _os.path.join(fp, leaf))
+                    ]
         elif _os.path.isfile(m):
             files.append(m)
     if not files:
@@ -346,7 +365,7 @@ def write_geojson_parts(
     ``_``-prefixed so ``read_geojson`` on the directory skips it — a
     round-trip through ``read_geojson(path)`` returns every feature.
     Returns the index dict."""
-    from pyspark import StorageLevel, TaskContext
+    from pyspark import TaskContext
 
     gj_df = df.withColumn("_gj", wkb_to_geojson_udf(F.col(geom_col)))
 
@@ -380,22 +399,32 @@ def write_geojson_parts(
             "n_features": len(feats),
             "features": feats,
         }
-        yield pd.DataFrame(
-            {"part_id": [part_id], "n": [len(feats)], "value": [json.dumps(fc)]}
-        )
+        yield pd.DataFrame({"value": [json.dumps(fc)]})
 
-    fc_rows = gj_df.mapInPandas(to_fc, schema="part_id string, n long, value string")
-    # two actions consume the serialized collections (tiny count rows +
-    # the text write); persist so the upstream plan runs once
-    fc_rows.persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        parts = [
-            {"part_id": r.part_id, "n_features": r.n}
-            for r in fc_rows.select("part_id", "n").collect()
-        ]
-        fc_rows.select("value").write.mode("overwrite").text(path)
-    finally:
-        fc_rows.unpersist()
+    fc_rows = gj_df.mapInPandas(to_fc, schema="value string")
+    # single action over the upstream plan: the text write. The index is
+    # then derived from the WRITTEN files — the one source of truth — so
+    # it can never disagree with them (a second action over persisted
+    # rows could: an evicted block after a nondeterministic shuffle
+    # recomputes a partition whose n_features differs from what was
+    # written). The part header ("part_id"/"n_features" foreign members)
+    # is serialized before the feature array (json.dumps preserves
+    # insertion order), so a prefix regex reads it without re-parsing
+    # the geometry payload.
+    fc_rows.write.mode("overwrite").text(path)
+    header = F.substring(F.col("value"), 1, 160)
+    parts = [
+        {"part_id": r.part_id, "n_features": int(r.n)}
+        for r in spark.read.text(path)
+        .where(F.length("value") > 0)
+        .select(
+            F.regexp_extract(header, r'"part_id": "([^"]+)"', 1).alias("part_id"),
+            F.regexp_extract(header, r'"n_features": (\d+)', 1)
+            .cast("long")
+            .alias("n"),
+        )
+        .collect()
+    ]
     index = {
         "format": "geojson_parts",
         "n_parts": len(parts),
