@@ -227,12 +227,22 @@ def _fine_cells_udf(fine_res: int, dilate: float, prefix: str):
     return F.pandas_udf(fine, "array<long>")
 
 
+# auto hot-cell rule: a cell is hot when its reference count exceeds
+# max(AUTO_HOT_MIN, AUTO_HOT_FACTOR * median cells-per-cell). On a
+# uniform tessellation the median is a handful of parcels, the floor
+# wins, and nothing splits (no overhead); a 100x-dense urban cell sits
+# orders of magnitude above the median and self-splits without any
+# operator tuning (reference O6 skew, docs/qa.qmd:19-40).
+AUTO_HOT_MIN = 64
+AUTO_HOT_FACTOR = 16.0
+
+
 def split_hot_cells(
     t: DataFrame,
     r: DataFrame,
     res: int,
     dilate: float,
-    threshold: int,
+    threshold: int | str,
     split: int = 2,
 ) -> tuple[DataFrame, DataFrame]:
     """Adaptive cell-level splitting of hot cells (north_star: dense
@@ -245,14 +255,28 @@ def split_hot_cells(
     and within that cell both sides cover the intersection at the SAME
     (fine) resolution.
 
+    ``threshold="auto"`` derives the cutoff from the cell-count stats
+    themselves (median-anchored, see AUTO_HOT_MIN/AUTO_HOT_FACTOR) —
+    entirely inside the DAG: the stats aggregate rides the counts
+    shuffle as a one-row broadcast, no driver-side probe action runs.
+
     Inputs are the exploded cell tables built by candidate_pairs /
     align_candidate_rows with bbox columns prefixed t_/r_.
     """
-    counts = (
-        r.groupBy("cell").agg(F.count(F.lit(1)).alias("_n")).filter(
-            F.col("_n") > threshold
+    cnts = r.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
+    if threshold == "auto":
+        stats = cnts.agg(
+            F.expr("percentile_approx(_n, 0.5)").cast("double").alias("_med")
         )
-    )
+        counts = cnts.join(F.broadcast(stats)).filter(
+            F.col("_n")
+            > F.greatest(
+                F.lit(float(AUTO_HOT_MIN)),
+                F.lit(AUTO_HOT_FACTOR) * F.col("_med"),
+            )
+        )
+    else:
+        counts = cnts.filter(F.col("_n") > threshold)
     hot = F.broadcast(counts.select("cell", F.lit(True).alias("_hot")))
 
     def expand(df: DataFrame, prefix: str, dil: float) -> DataFrame:
@@ -286,10 +310,12 @@ def candidate_pairs(
     theme_id: str = "theme_id",
     ref_id: str = "ref_id",
     salt: int = 0,
-    hot_cell_threshold: int | None = None,
+    hot_cell_threshold: int | str | None = None,
     hot_split: int = 2,
 ) -> DataFrame:
     """Distinct (theme_id, ref_id) pairs within 2*max_rd of each other.
+    ``hot_cell_threshold`` accepts an int cutoff or ``"auto"``
+    (median-anchored self-tuning — see ``split_hot_cells``).
 
     The dilation radius 2*max_rd is the superset of all three reference
     mechanisms (J2/J3 use exactly 2 x max_rd). Returns the pair table

@@ -159,3 +159,82 @@ def test_adaptive_hot_cell_split_same_pairs(spark):
         ).collect()
     }
     assert adaptive == base and len(base) > 100
+
+
+def test_auto_hot_cell_threshold(spark):
+    """hot_cell_threshold="auto" self-tunes from the cell-count stats: a
+    100x-dense urban block (one cell owning ~400 reference parcels — a
+    straggler task under the default no-split path) splits without any
+    operator tuning, candidate output identical; a uniform tessellation
+    sits under the floor and splits nothing (no overhead)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from brdrq_spark.geom import rings_to_wkb
+    from brdrq_spark.operators.candidates import (
+        candidate_pairs,
+        cells_exploded,
+        pick_resolution,
+        split_hot_cells,
+    )
+
+    def small_sq(cx, cy, s=1.1):
+        return rings_to_wkb(
+            [np.array([[cx, cy], [cx + s, cy], [cx + s, cy + s], [cx, cy + s]])]
+        )
+
+    # 400 parcels at 1.3 m pitch -> a ~26 m block inside one 32 m cell,
+    # plus a sparse background that pins the median cells-per-cell at 1
+    refs = [
+        {"ref_id": f"d{i}", "geom_wkb": small_sq(3.0 + 1.3 * (i % 20), 3.0 + 1.3 * (i // 20))}
+        for i in range(400)
+    ] + [
+        {"ref_id": f"s{i}", "geom_wkb": small_sq(500.0 + 150.0 * i, 5.0)}
+        for i in range(40)
+    ]
+    themes = [
+        {"theme_id": f"t{i}", "geom_wkb": small_sq(3.4 + 1.3 * (i % 20), 3.4 + 1.3 * (i // 20))}
+        for i in range(50)
+    ]
+    ref = spark.createDataFrame(pd.DataFrame(refs))
+    th = spark.createDataFrame(pd.DataFrame(themes))
+
+    base = {
+        (r.theme_id, r.ref_id)
+        for r in candidate_pairs(th, ref, max_rd=2.0, broadcast_ref=False).collect()
+    }
+    auto = {
+        (r.theme_id, r.ref_id)
+        for r in candidate_pairs(
+            th, ref, max_rd=2.0, broadcast_ref=False, hot_cell_threshold="auto"
+        ).collect()
+    }
+    assert auto == base and len(base) > 400
+
+    # straggler evidence on the join-key tables themselves
+    res = pick_resolution(2.0)
+    dilate = 2.0 * 2.0 * 1.01
+    t = cells_exploded(th.select("theme_id", "geom_wkb"), "theme_id", res, dilate, "t")
+    r = cells_exploded(ref.select("ref_id", "geom_wkb"), "ref_id", res, 0.0, "r")
+
+    def max_per_key(df):
+        return df.groupBy("cell").count().agg(F.max("count")).first()[0]
+
+    before = max_per_key(r)
+    assert before >= 100  # the dense cell IS a straggler key untreated
+    t2, r2 = split_hot_cells(t, r, res, dilate, "auto")
+    assert max_per_key(r2) <= before / 3  # auto split spread it out
+
+    # uniform input: nothing crosses the auto cutoff, tables unchanged
+    uref = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"ref_id": f"u{i}", "geom_wkb": small_sq(10.0 * (i % 12), 10.0 * (i // 12))}
+                for i in range(144)
+            ]
+        )
+    )
+    ru = cells_exploded(uref.select("ref_id", "geom_wkb"), "ref_id", res, 0.0, "r")
+    _, ru2 = split_hot_cells(t, ru, res, dilate, "auto")
+    assert ru2.count() == ru.count()
