@@ -119,17 +119,18 @@ def run_evaluate_sweep(spark, paths) -> int:
     166-168): a full multi-rd prediction sweep (~50 distances) with O5
     auto_step admission — the most expensive operation a real user
     runs, timed so a regression in the sweep or the per-feature
-    bucketing shows up round-over-round. A deterministic 1/16 hash
-    slice of the theme table keeps the entry ~same cost as align_rd2
-    while exercising the identical fused sweep DAG (a limit() would
-    collapse the scan to one task instead)."""
+    bucketing shows up round-over-round. A deterministic 1/32 hash
+    slice of the theme table (~37 themes x ~50 distances) keeps the
+    entry near align_rd2's cost while exercising the identical fused
+    sweep DAG (a limit() would collapse the scan to one task
+    instead)."""
     from pyspark.sql import functions as F
 
     from brdrq_spark.operators.evaluate import evaluate
 
     ref = spark.read.parquet(paths["ref"])
     th = spark.read.parquet(paths["theme"]).where(
-        F.pmod(F.xxhash64("theme_id"), F.lit(16)) == 0
+        F.pmod(F.xxhash64("theme_id"), F.lit(32)) == 0
     )
     return evaluate(
         spark, th, ref, max_rd=5.0, step=0.1, auto_step=True, broadcast_ref=True
