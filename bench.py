@@ -72,13 +72,16 @@ def prepare_inputs(spark, root: str) -> dict:
     spark.createDataFrame(
         thematic_polygons(N_THEMES, GRID, GRID, seed=42, jitter=1.0)
     ).repartition(CPUS * 2).write.mode("overwrite").parquet(paths["theme"])
-    # scaling workload: 8 jitter replicas of the full parcel grid (same
+    # scaling workload: 12 jitter replicas of the full parcel grid (same
     # tessellation, different jitter seeds — node_seed pins the grid!) so
     # the job is long enough to amortize per-stage fixed cost at the high
     # parallelism level (4 replicas: eff 0.84; round-3 kernel speedups
     # shrank the job under the amortization knee -> 6 replicas; round-4's
-    # faster steady state read 0.833 at 6, so the workload grows again —
-    # faster kernels LOWER the ratio otherwise)
+    # faster steady state read 0.833 at 6 -> 8; the round-6 certificate
+    # kernel brought the 8-replica lo pass from ~195 s down to ~146-156 s
+    # in quiet windows and the hi pass to ~40-50 s, back at the knee
+    # (one run read 0.785) -> 12 — faster kernels LOWER the ratio
+    # otherwise)
     import pandas as _pd
 
     scale_pdf = _pd.concat(
@@ -86,7 +89,7 @@ def prepare_inputs(spark, root: str) -> dict:
             thematic_polygons(
                 GRID * GRID, GRID, GRID, seed=42 + k, jitter=1.0, node_seed=42
             ).assign(theme_id=lambda d, k=k: d.theme_id + f"_r{k}")
-            for k in range(8)
+            for k in range(12)
         ],
         ignore_index=True,
     )
@@ -273,7 +276,7 @@ def main():
         scale_errors: list[str] = []
 
         def scale_point(c: int, passes: int = 1) -> dict | None:
-            # 2400 s headroom: the 32768-theme lo pass is ~200-260 s in
+            # 2400 s headroom: the 49152-theme lo pass is ~220-300 s in
             # a calm window and the protocol exists precisely because
             # multi-minute noise windows multiply that — a timed-out or
             # crashed sample must degrade to a missing sample (with an
@@ -356,7 +359,9 @@ def main():
             scaling["scale_run_errors"] = scale_errors
         scaling["n_over_4n"] = f"local[{lo}] -> local[{hi}]"
         scaling["note"] = (
-            "32768-theme job, 4 alternating rounds FIXED up front "
+            "49152-theme job (12 replicas — re-sized after the round-6 "
+            "kernel speedup shrank the 8-replica job under the "
+            "amortization knee), 4 alternating rounds FIXED up front "
             "(no metric-conditioned stopping), min per level "
             "(hypervisor noise protocol, BASELINE.md); kernel_scaling "
             "isolates hardware N->4N at full machine width"

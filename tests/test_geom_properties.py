@@ -237,6 +237,14 @@ def test_erode_nonempty_matches_exact(seed):
         # unnormalized: lone CW ring is a FILLED region under nonzero
         # winding — the certificate must not call it empty
         [rect(0, 0, 10, 10)[::-1]],
+        # fat quad (the common intersection shape: survives big d)
+        [rect(0, 0, 9, 9)],
+        # winding-2: two identical overlapping CCW rings (net shoelace
+        # doubles — certificates must not be fooled by inflated area)
+        [rect(0, 0, 9, 9), rect(0, 0, 9, 9)],
+        # self-intersecting bowtie: both lobes filled under nonzero
+        # winding, net shoelace ~0
+        [np.array([[0, 0], [10, 0], [0, 8], [10, 8]], float)],
         # empty / degenerate
         [],
         [np.zeros((3, 2))],
