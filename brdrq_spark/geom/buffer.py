@@ -266,6 +266,37 @@ def erode_nonempty(rings: list[np.ndarray], d: float, nseg: int = 16) -> bool:
         )
         if disjoint:
             return False
+    # Coarse-table EMPTY prescreen for the shapes the analytic
+    # certificates are blind to (bent thin bands whose bbox is large in
+    # every direction).  ``_unit_disk(4)`` vertices sit at angles
+    # 0/90/180/270 — a phase-aligned subset of every ``_unit_disk(4k)``
+    # — so by convexity the 4-gon disk of radius d-μ is contained in the
+    # nseg-gon disk of radius d, and each edge rectangle of half-width
+    # d-μ is contained in the one of half-width d.  Hence
+    # ``capsules(d-μ, 4) ⊆ capsules(d, nseg)`` pointwise for ANY input
+    # (no simplicity or orientation assumption — the containment is set
+    # theoretic and both sides fill by the same NONZERO winding), and
+    # erosion by the coarse capsules is a superset of the exact erosion:
+    # a (near-)empty coarse table certifies the exact table empty.  The
+    # μ = _CERT_MARGIN radius back-off makes the containment gap
+    # (≥ μ·cos(π/4) ≈ 7e-4 m, the rectangle half-width delta) dominate
+    # snap rounding (≤ 7e-7 m): any exact-table survivor sliver of area
+    # > _TINY implies a free disk of radius ~μ·cos(π/4) in the coarse
+    # arrangement, i.e. coarse area ≥ π(7e-4)² ≈ 1.5e-6 — so a coarse
+    # reading ≤ 1e-9 can only occur where the exact table reads empty.
+    # Measured on the bench workload (scripts/_probe_cert_fallbacks.py):
+    # every fallthrough call fires the prescreen (all are EMPTY bands),
+    # so there is no double-build penalty; the net win is modest there
+    # (the median fallback ring has ~6 vertices and the table cost is
+    # numpy fixed overhead, not vertex count) but the largest fallback
+    # tables (>256 capsule vertices) halve, which is what matters for
+    # vertex-dense inputs.  A tighter analytic NONEMPTY bound
+    # (d*perim instead of 2d*perim, valid for certified-simple rings)
+    # was probed and rejected: it fires zero times on this workload —
+    # the fallbacks are EMPTY-side, not threshold-band NONEMPTY.
+    if nseg % 4 == 0 and nseg > 4 and d > 2.0 * _CERT_MARGIN:
+        if erode_area(rings, d - _CERT_MARGIN, 4) <= 1e-9:
+            return False
     return erode_area(rings, d, nseg) > _TINY
 
 

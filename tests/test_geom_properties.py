@@ -252,6 +252,18 @@ def test_erode_nonempty_matches_exact(seed):
     for rings in adversarial:
         for d in (0.05, 0.5, 1.0, 3.0):
             check(rings, d)
+    # coarse-prescreen ambiguity window: band widths between the 4-gon
+    # pre-table's survival threshold (2·d·cos(π/4) ≈ 1.41d) and the
+    # exact 16-gon's (2·d·cos(π/16) ≈ 1.96d) read NONEMPTY in the
+    # coarse table but EMPTY in the exact one — the prescreen must fall
+    # through to the exact table, not fire
+    for w in (1.5, 1.7, 1.9):
+        check([rect(0, 0, 30, w)], 1.0, nseg=16)
+        bent = np.array(
+            [[0, 0], [30, 0], [30, 30], [30 - w, 30], [30 - w, w], [0, w]],
+            float,
+        )
+        check([bent], 1.0, nseg=16)
     # realistic relevance-test shapes: uncov = parcel \ jittered copy
     # (jitter snapped to 0.25 to keep the EXACT reference path fast —
     # unsnapped jitter breeds micro-lobe messes whose reference
