@@ -215,7 +215,11 @@ def knn_with_escalation(
     rounds (4 at the defaults), each a lazy Spark job over a shrinking
     theme subset — the common case (everything covered in ring 1) pays
     one extra empty-anti-join count. Ring outputs persist so the next
-    ring's anti-join does not re-execute the prior ring's subtree."""
+    ring's anti-join does not re-execute the prior ring's subtree;
+    each uncovered generation is counted (full materialization, so the
+    count doubles as the cache fill) and its predecessor unpersisted —
+    at cluster scale a 4-ring escalation must not leave four stale
+    shrinking vertex sets pinned in executor storage."""
     from pyspark import StorageLevel
 
     verts = theme_vertices(theme_df)
@@ -226,8 +230,9 @@ def knn_with_escalation(
     uncovered = verts.join(
         out.select("theme_id", "vertex_idx"), ["theme_id", "vertex_idx"], "left_anti"
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    n_uncovered = uncovered.count()
     r = search_radius * growth
-    while r <= max_radius and uncovered.limit(1).count() > 0:
+    while r <= max_radius and n_uncovered > 0:
         themes_left = theme_df.join(
             uncovered.select("theme_id").distinct(), "theme_id", "left_semi"
         )
@@ -239,10 +244,14 @@ def knn_with_escalation(
             "left_semi",
         ).persist(StorageLevel.MEMORY_AND_DISK)
         acc = acc.unionByName(ring)
-        uncovered = uncovered.join(
+        nxt = uncovered.join(
             ring.select("theme_id", "vertex_idx"),
             ["theme_id", "vertex_idx"],
             "left_anti",
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        n_uncovered = nxt.count()  # fills nxt's AND ring's cache
+        uncovered.unpersist()
+        uncovered = nxt
         r *= growth
+    uncovered.unpersist()
     return acc
