@@ -190,13 +190,32 @@ def erode_nonempty(rings: list[np.ndarray], d: float, nseg: int = 16) -> bool:
       ``2d*perimeter + n_vertices*pi*d^2`` (each edge rectangle is
       exactly ``2d*len``; each join disk is an inscribed N-gon < pi*d^2,
       and "interior" pruning only drops disks) — if
-      ``area - that > _TINY + margin``, something must survive.
-    * EMPTY: a survivor point lies farther than ``d' = d*cos(pi/nseg)``
-      (the N-gon disk inradius) from the boundary, so its component
-      contains a d'-disk, which needs ``area >= pi*d'^2`` and a bbox
-      >= 2d' in both axes. When every CCW ring fails one of those (and
-      the CCW rings are pairwise bbox-disjoint, so a disk cannot span
-      two of them), nothing survives.
+      ``area - that > _TINY + margin``, something must survive. Valid
+      only when the CCW rings are pairwise bbox-disjoint (with margin):
+      then the filled area is at least the signed shoelace sum (CW
+      rings subtract conservatively in any arrangement), whereas
+      stacked CCW rings would let the signed sum overcount winding>=2
+      regions and overstate what survives.
+    * EMPTY: fires only when EVERY ring is CCW. A survivor point p
+      escapes the capsules of each CCW ring containing it, and the
+      "interior" pruning covers the full d'-neighborhood of a ring's
+      boundary on the polygon-interior side (``d' = d*cos(pi/nseg)``,
+      the join N-gon inradius) — so the d'-disk around p sits inside
+      that single ring polygon, which then needs ``area >= pi*d'^2``
+      and a bbox >= 2d' in both axes. When every CCW ring fails that
+      size test, nothing survives; overlapping rings are fine (each
+      containing polygon works on its own). Any CW ring disables the
+      certificate: "interior" pruning is wrong-sided for a
+      free-standing CW region (its polygon-interior reflex wedges are
+      uncovered), so ``erode_area`` can keep corner-hugging survivors
+      there regardless of the polygon's size.
+
+    Both analytic certificates assume SIMPLE rings (the post-make_valid
+    pipeline contract): shoelace sums cannot see self-intersection, so
+    a figure-eight ring could defeat either bound. The coarse-table
+    prescreen below needs no such assumption (its containment argument
+    is set-theoretic on the scanbeam inputs themselves) and picks up
+    everything the gated certificates decline.
 
     Both are margin-guarded against snap rounding (``_CERT_MARGIN``), so
     the boolean is always the one the exact table would produce —
@@ -209,7 +228,7 @@ def erode_nonempty(rings: list[np.ndarray], d: float, nseg: int = 16) -> bool:
     perim = 0.0
     nv = 0
     outers: list[tuple[float, float, float, float, float]] = []
-    holes: list[tuple[float, float, float, float]] = []
+    holes: list[tuple[float, float, float, float, float]] = []
     for ring in rings:
         if ring.ndim != 2 or len(ring) < 3:
             return erode_area(rings, d, nseg) > _TINY
@@ -221,50 +240,47 @@ def erode_nonempty(rings: list[np.ndarray], d: float, nseg: int = 16) -> bool:
         area += a
         perim += float(np.hypot(dx, dy).sum())
         nv += len(ring)
-        if a > 0:  # CCW outer
-            outers.append(
-                (float(x.min()), float(y.min()), float(x.max()), float(y.max()), a)
-            )
+        box = (float(x.min()), float(y.min()), float(x.max()), float(y.max()), a)
+        if a > 0:  # CCW
+            outers.append(box)
         else:
-            holes.append(
-                (float(x.min()), float(y.min()), float(x.max()), float(y.max()))
-            )
-    # The scanbeam fills by NONZERO winding, so a CW ring outside every
-    # CCW ring is a filled region, not a hole. The EMPTY certificate
-    # reasons about CCW ring polygons only — it is valid only for
-    # orientation-normalized input (every CW ring nested in a CCW one,
-    # checked by bbox containment); anything else takes the exact table.
-    normalized = all(
-        any(
-            h[0] >= o[0] and h[1] >= o[1] and h[2] <= o[2] and h[3] <= o[3]
-            for o in outers
-        )
-        for h in holes
-    )
-    # NONEMPTY certificate: removal upper bound can't reach the area
-    if area - 2.0 * d * perim - nv * np.pi * d * d > _TINY + _CERT_MARGIN:
-        return True
-    # EMPTY certificate: no CCW ring can hold a d'-disk. Valid only when
-    # a disk cannot span two CCW rings — i.e. there is one CCW ring, or
-    # they are pairwise bbox-separated (with margin), hence disjoint.
-    dp = d * float(np.cos(np.pi / nseg))
-    fits = any(
-        min(o[2] - o[0], o[3] - o[1]) >= 2.0 * dp - _CERT_MARGIN
-        and o[4] >= np.pi * dp * dp - _CERT_MARGIN
-        for o in outers
-    )
-    if not fits and normalized:
-        disjoint = all(
+            holes.append(box)
+    def _pairwise_disjoint(
+        boxes: list[tuple[float, float, float, float, float]],
+    ) -> bool:
+        return all(
             (
-                oi[2] < oj[0] - _CERT_MARGIN
-                or oj[2] < oi[0] - _CERT_MARGIN
-                or oi[3] < oj[1] - _CERT_MARGIN
-                or oj[3] < oi[1] - _CERT_MARGIN
+                bi[2] < bj[0] - _CERT_MARGIN
+                or bj[2] < bi[0] - _CERT_MARGIN
+                or bi[3] < bj[1] - _CERT_MARGIN
+                or bj[3] < bi[1] - _CERT_MARGIN
             )
-            for i, oi in enumerate(outers)
-            for oj in outers[i + 1 :]
+            for i, bi in enumerate(boxes)
+            for bj in boxes[i + 1 :]
         )
-        if disjoint:
+
+    # NONEMPTY certificate: removal upper bound can't reach the area.
+    # Gated on disjoint CCW rings so the signed sum is a lower bound
+    # on the NONZERO-filled area (see docstring); CW rings subtract
+    # their full polygon area, conservative in any arrangement. The
+    # arithmetic test runs first so the pairwise loop only executes
+    # on prospective firings.
+    if (area - 2.0 * d * perim - nv * np.pi * d * d > _TINY + _CERT_MARGIN) and (
+        len(outers) <= 1 or _pairwise_disjoint(outers)
+    ):
+        return True
+    # EMPTY certificate: all-CCW inputs only (see docstring — a CW
+    # ring, nested hole or free-standing region alike, routes to the
+    # coarse prescreen instead). Overlapping CCW rings are fine, so
+    # no disjointness condition here.
+    if not holes:
+        dp = d * float(np.cos(np.pi / nseg))
+        fits = any(
+            min(b[2] - b[0], b[3] - b[1]) >= 2.0 * dp - _CERT_MARGIN
+            and b[4] >= np.pi * dp * dp - _CERT_MARGIN
+            for b in outers
+        )
+        if not fits:
             return False
     # Coarse-table EMPTY prescreen for the shapes the analytic
     # certificates are blind to (bent thin bands whose bbox is large in

@@ -237,6 +237,40 @@ def test_erode_nonempty_matches_exact(seed):
         # unnormalized: lone CW ring is a FILLED region under nonzero
         # winding — the certificate must not call it empty
         [rect(0, 0, 10, 10)[::-1]],
+        # CW square bbox-nested in a thin CCW L-band but geometrically
+        # outside it: a filled region, not a hole — bbox containment
+        # must not be trusted as nesting (caught a live bug)
+        [
+            np.array(
+                [[0, 0], [30, 0], [30, 0.1], [0.1, 0.1], [0.1, 30], [0, 30]],
+                float,
+            ),
+            rect(5, 5, 25, 25)[::-1],
+        ],
+        # free-standing CW thin L-band alone (wrong-side join pruning)
+        [
+            np.array(
+                [[0, 0], [30, 0], [30, 0.1], [0.1, 0.1], [0.1, 30], [0, 30]],
+                float,
+            )[::-1]
+        ],
+        # alternating-orientation strip decomposition: every strip's
+        # boundary is eroded, shared edges included
+        [
+            rect(i, 0, i + 1, 10) if i % 2 == 0 else rect(i, 0, i + 1, 10)[::-1]
+            for i in range(6)
+        ],
+        # interlocked L's: disjoint regions, overlapping bboxes
+        [
+            np.array(
+                [[0, 0], [10, 0], [10, 1], [1, 1], [1, 10], [0, 10]], float
+            ),
+            np.array(
+                [[2, 2], [10, 2], [10, 10], [9, 10], [9, 3], [2, 3]], float
+            ),
+        ],
+        # overlapping thin CCW bands (stacked winding in the overlap)
+        [rect(0, 0, 30, 0.4), rect(0, 0.2, 30, 0.6)],
         # fat quad (the common intersection shape: survives big d)
         [rect(0, 0, 9, 9)],
         # winding-2: two identical overlapping CCW rings (net shoelace
