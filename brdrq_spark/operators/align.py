@@ -65,6 +65,17 @@ from brdrq_spark.grid import cell_cover_bbox, pick_resolution
 
 _TINY = 1e-6  # m²; below = empty for relevance purposes
 
+
+def distance_grid(max_rd: float, step: float = 0.1) -> list[float]:
+    """The reference's prediction grid: 0 .. max_rd in `step` meters
+    (brdrq_algorithm_autocorrectborders.py:627-629; interactive step
+    coarsening 10/20/50 cm per brdrq_settings.py:70-73). Lives here —
+    not in evaluate — because the kernel rebuilds per-theme grids from
+    AlignConfig.step_col; evaluate re-exports it."""
+    cents = np.arange(0.0, max_rd * 100.0 + step * 100.0, step * 100.0)
+    return [round(float(c) / 100.0, 2) for c in cents]
+
+
 OD_EXCLUDE = "EXCLUDE"
 OD_AS_IS = "AS_IS"
 OD_SNAP_SINGLE_SIDE = "SNAP_SINGLE_SIDE"
@@ -129,6 +140,15 @@ class AlignConfig:
     partial_snapping: bool = False
     partial_snap_strategy: str = "PREFER_VERTICES"
     partial_snap_max_segment_length: float = 2.0
+    # per-theme sweep step: names a theme_df DOUBLE column holding each
+    # feature's rd-grid step; themes then sweep
+    # distance_grid(max(relevant_distances), their step) instead of
+    # relevant_distances verbatim (NULL keeps the shared grid). Lets
+    # evaluate(auto_step=True) fuse its fine/coarse area buckets into
+    # ONE candidate-generation pass — the buckets differ only in grid
+    # resolution, so paying the cell-join subtree twice doubled the
+    # dominant fixed cost of a sweep for nothing.
+    step_col: str | None = None
     # calculation CRS (reference default EPSG:31370, updated from the
     # thematic layer — brdrq_algorithm_autocorrectborders.py:194). The
     # engine computes in ONE projected meter CRS; align() hard-errors on
@@ -415,6 +435,14 @@ def _make_kernel(cfg: AlignConfig, res: int):
         _tw = pdf["theme_wkb"].dropna()
         theme_rings = rings_from_wkb(_tw.iloc[0]) if len(_tw) else []
         remark = ""
+        # per-theme sweep grid: the bare row may carry a step override
+        # (AlignConfig.step_col); the grid's max is shared — candidate
+        # dilation was sized from max(relevant_distances) for everyone
+        rds = cfg.relevant_distances
+        if "theme_step" in pdf.columns:
+            _st = pdf["theme_step"].dropna()
+            if len(_st):
+                rds = distance_grid(max(rds), float(_st.iloc[0]))
         # dedupe: shared cells produce repeated (theme, ref) rows; doing
         # it here replaces a full distinct() shuffle stage. refmap keeps
         # (ref_id, version_date) per candidate for lineage emission.
@@ -486,7 +514,7 @@ def _make_kernel(cfg: AlignConfig, res: int):
         pres = [
             _precompute_pairs(
                 p, ref_ring_sets, cfg,
-                with_inradius=len(cfg.relevant_distances) > 2,
+                with_inradius=len(rds) > 2,
             )
             for p in theme_parts
         ]
@@ -509,7 +537,7 @@ def _make_kernel(cfg: AlignConfig, res: int):
             and bool(all_ref_rings)
         )
         multi = len(theme_parts) > 1
-        for rd in cfg.relevant_distances:
+        for rd in rds:
             parts = _align_parts(theme_parts, ref_ring_sets, rd, cfg, pres)
             key = parts["decision_key"]
             # per-ref view of the decisions: with a multi-part theme the
@@ -722,7 +750,23 @@ def align_candidate_rows(
     # shipping sent NULL through the cell explode) need no re-join: the
     # kernel reads the group's first non-null WKB. One union branch,
     # each MapInPandas pass evaluates exactly once.
-    cand = cand.select("theme_id", "theme_wkb", "ref_wkb", "ref_id", "ref_version")
+    # the per-theme sweep step (step_col) rides ONLY the bare row — it
+    # is per-theme, and the bare row is the one row guaranteed present
+    # for every theme; candidate rows carry NULL so the join width does
+    # not grow.
+    step_expr = (
+        F.col(cfg.step_col).cast("double")
+        if cfg.step_col is not None and cfg.step_col in theme_df.columns
+        else F.lit(None).cast("double")
+    ).alias("theme_step")
+    cand = cand.select(
+        "theme_id",
+        "theme_wkb",
+        "ref_wkb",
+        "ref_id",
+        "ref_version",
+        F.lit(None).cast("double").alias("theme_step"),
+    )
     grouped = cand.unionByName(
         theme_df.select(
             "theme_id",
@@ -730,6 +774,7 @@ def align_candidate_rows(
             F.lit(None).cast("binary").alias("ref_wkb"),
             F.lit(None).cast("string").alias("ref_id"),
             F.lit(None).cast("string").alias("ref_version"),
+            step_expr,
         )
     )
     return grouped, res

@@ -24,11 +24,10 @@ Everything after the align pass is pure Spark window algebra — no UDFs.
 
 from __future__ import annotations
 
-import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from brdrq_spark.operators.align import AlignConfig, align
+from brdrq_spark.operators.align import AlignConfig, align, distance_grid
 
 # PredictionStrategy (reference brdrq_algorithm_common.py:123-130)
 STRATEGY_ALL = "ALL"
@@ -105,14 +104,6 @@ def _broadcast_if_small(df: DataFrame, force: bool | None, cap_bytes: int = 64 <
     except Exception:
         pass
     return df
-
-
-def distance_grid(max_rd: float, step: float = 0.1) -> list[float]:
-    """The reference's prediction grid: 0 .. max_rd in `step` meters
-    (brdrq_algorithm_autocorrectborders.py:627-629; interactive step
-    coarsening 10/20/50 cm per brdrq_settings.py:70-73)."""
-    cents = np.arange(0.0, max_rd * 100.0 + step * 100.0, step * 100.0)
-    return [round(float(c) / 100.0, 2) for c in cents]
 
 
 def add_stability(
@@ -237,11 +228,13 @@ def evaluate(
     loudly and points at the bulk path — silent disappearance would
     break any consumer joining results back to the input), and the
     grid step is the reference's PER-FEATURE resolution of the policy
-    chain: themes bucket by area (at most two buckets for a given
-    ``max_rd``, since the rd branch overwrites the area branch) and one
-    fused sweep runs per bucket, all branches of the same DAG — a small
-    theme co-swept with a big one keeps the 10 cm step the reference
-    would give it. No driver-side probe job runs; the admission filter
+    chain: themes bucket by area (at most two steps for a given
+    ``max_rd``, since the rd branch overwrites the area branch) and a
+    per-theme step column (``AlignConfig.step_col``) lets ONE fused
+    align pass sweep each theme over its own grid — a small theme
+    co-swept with a big one keeps the 10 cm step the reference would
+    give it, and the candidate cell-join subtree runs once, not once
+    per bucket. No driver-side probe job runs; the admission filter
     rides lineage — downstream passes re-run the map-only Arrow area
     decode rather than pinning a persisted copy of the theme table in
     executor memory (one extra decode per pass is cheap next to a
@@ -264,37 +257,43 @@ def evaluate(
         # resolves it per feature (featurealigner.py:1277-1299). The rd
         # branch overwrites the area branch, so for a given max_rd at
         # most TWO steps coexist (10 cm / 50 cm when max_rd <= 7.5 m; a
-        # single step above): one fused sweep runs per area bucket —
-        # both branches of the same DAG, one Spark job — so a small
+        # single step above). A per-theme step column drives the
+        # kernel's grid, so BOTH steps ride one align pass — a small
         # theme co-swept with a big one keeps its fine step instead of
-        # inheriting a coarse global one, and no driver-side area-probe
-        # job runs at call time.
+        # inheriting a coarse global one, no driver-side area-probe
+        # job runs at call time, and the candidate subtree isn't paid
+        # twice.
         step_fine, _ = adaptive_grid(0.0, max_rd)
         step_coarse, _ = adaptive_grid(MAX_AREA_OPTIMIZATION + 1.0, max_rd)
         if step_fine == step_coarse:
-            buckets = [(step_fine, theme_df)]
-        else:
-            buckets = [
-                (
-                    step_fine,
-                    admitted.where(
-                        F.col("_o5_area") <= F.lit(MAX_AREA_OPTIMIZATION)
-                    ).drop("_o5_area"),
-                ),
-                (
-                    step_coarse,
-                    admitted.where(
-                        F.col("_o5_area") > F.lit(MAX_AREA_OPTIMIZATION)
-                    ).drop("_o5_area"),
-                ),
-            ]
-        aligned = None
-        for bstep, bdf in buckets:
             bcfg = _dc_replace(
-                cfg, relevant_distances=distance_grid(max_rd, bstep)
+                cfg, relevant_distances=distance_grid(max_rd, step_fine)
             )
-            part = align(spark, bdf, ref_df, bcfg, broadcast_ref=broadcast_ref)
-            aligned = part if aligned is None else aligned.unionByName(part)
+            aligned = align(
+                spark, theme_df, ref_df, bcfg, broadcast_ref=broadcast_ref
+            )
+        else:
+            # ONE fused pass for both area buckets: the buckets differ
+            # only in grid step, so a per-theme step column
+            # (AlignConfig.step_col) lets every theme sweep its own
+            # distance_grid(max_rd, step) inside a single candidate
+            # plan — previously each bucket re-ran the whole cell-join
+            # subtree, doubling the sweep's dominant fixed cost.
+            stepped = admitted.withColumn(
+                "_o5_step",
+                F.when(
+                    F.col("_o5_area") > F.lit(MAX_AREA_OPTIMIZATION),
+                    F.lit(step_coarse),
+                ).otherwise(F.lit(step_fine)),
+            ).drop("_o5_area")
+            bcfg = _dc_replace(
+                cfg,
+                relevant_distances=distance_grid(max_rd, step_fine),
+                step_col="_o5_step",
+            )
+            aligned = align(
+                spark, stepped, ref_df, bcfg, broadcast_ref=broadcast_ref
+            )
     else:
         cfg.relevant_distances = distance_grid(max_rd, step)
         aligned = align(spark, theme_df, ref_df, cfg, broadcast_ref=broadcast_ref)
