@@ -102,3 +102,66 @@ def test_evaluate_auto_step_blocks_and_coarsens(spark):
     }
     assert big and big <= coarse           # big theme: 50 cm grid only
     assert small and not (small <= coarse)  # small theme: fine 10 cm grid
+
+
+def test_fused_auto_step_matches_per_bucket_aligns(spark):
+    """The per-theme-step fused sweep (one align pass, step column
+    driving the kernel grid) must produce EXACTLY the rows of the
+    two-bucket formulation it replaced: align(small themes, fine grid)
+    union align(big themes, coarse grid), value for value."""
+    from brdrq_spark.operators.align import AlignConfig, align, distance_grid
+    from dataclasses import replace as _dc_replace
+    from pyspark.sql import functions as F
+
+    themes = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"theme_id": "t_small", "geom_wkb": _rect_wkb(0.3, 0.2, 10, 10)},
+                {"theme_id": "t_small2", "geom_wkb": _rect_wkb(20.2, 0.1, 10, 10)},
+                {"theme_id": "t_big", "geom_wkb": _rect_wkb(1000.4, 0.3, 500, 500)},
+            ]
+        )
+    )
+    refs = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"ref_id": "r_small", "geom_wkb": _rect_wkb(0, 0, 10, 10)},
+                {"ref_id": "r_small2", "geom_wkb": _rect_wkb(20, 0, 10, 10)},
+                {"ref_id": "r_big", "geom_wkb": _rect_wkb(1000, 0, 500, 500)},
+            ]
+        )
+    )
+    max_rd, fine, coarse = 2.0, 0.1, 0.5
+    cfg = AlignConfig(relevant_distances=distance_grid(max_rd, fine))
+    stepped = themes.withColumn(
+        "_step",
+        F.when(F.col("theme_id") == "t_big", F.lit(coarse)).otherwise(F.lit(fine)),
+    )
+    fused = align(
+        spark, stepped, refs, _dc_replace(cfg, step_col="_step"),
+        broadcast_ref=True,
+    )
+    small_part = align(
+        spark,
+        themes.where(F.col("theme_id") != "t_big"),
+        refs,
+        cfg,
+        broadcast_ref=True,
+    )
+    big_part = align(
+        spark,
+        themes.where(F.col("theme_id") == "t_big"),
+        refs,
+        _dc_replace(cfg, relevant_distances=distance_grid(max_rd, coarse)),
+        broadcast_ref=True,
+    )
+    cols = ["theme_id", "brdr_relevant_distance"]
+    key = cols + ["brdr_area", "brdr_sym_diff_area_index", "brdr_nr_references"]
+    f_rows = sorted(map(tuple, fused.select(*key).collect()))
+    b_rows = sorted(
+        map(tuple, small_part.unionByName(big_part).select(*key).collect())
+    )
+    assert f_rows == b_rows
+    assert len(f_rows) == 2 * len(distance_grid(max_rd, fine)) + len(
+        distance_grid(max_rd, coarse)
+    )
