@@ -574,16 +574,15 @@ def _stitch_events_vec(K) -> list:
     return raw
 
 
-def _weld_and_chain(raw: list) -> list[np.ndarray]:
-    """Stages 2-3 of _stitch: junction weld + ring chaining. Input is the
-    surviving boundary segment list (small), so plain Python."""
+_WELD_VEC_MIN = 192  # raw segs; below, the dict weld beats numpy overhead
+
+
+def _weld_segments_small(raw: list) -> list:
+    """Sequential dict-based weld — faster than the vectorized one below
+    ~200 raw segments (the common parcel-sized case: numpy's fixed
+    dispatch plus np.unique's void-view sort dominate tiny inputs)."""
     from collections import defaultdict
 
-    # --- merge near-coincident junctions ----------------------------------
-    # At a snapped crossing event the two edges evaluate to slightly
-    # different x on the beam boundary (a few SNAP units apart), leaving
-    # dangling endpoints. All endpoints sit exactly on beam ys, so merge
-    # nodes per y-row whose x differ by <= _WELD snap units.
     nodes_by_y: dict[int, list[int]] = {}
     for p, q in raw:
         nodes_by_y.setdefault(p[1], []).append(p[0])
@@ -609,8 +608,117 @@ def _weld_and_chain(raw: list) -> list[np.ndarray]:
     segs: list[tuple[tuple[int, int], tuple[int, int]]] = []
     for (p, q), cnt in merged.items():
         segs.extend([(p, q)] * cnt)
+    return segs
+
+
+def _weld_segments_vec(raw: list) -> list:
+    """Vectorized weld for LARGE event streams (capsule-block unions).
+    Reproduces ``_weld_segments_small`` EXACTLY (seg values AND order —
+    pinned by test_weld_and_chain_matches_reference):
+
+    * node merge: endpoints sort by (y, x); a run breaks where the gap
+      to the previous distinct x exceeds _WELD (the chain rule — gap
+      from the previous x, not from the run's representative; duplicate
+      xs have gap 0 and never break, so scanning with duplicates inline
+      is equivalent);
+    * cancellation: the sequential pass keeps, per undirected pair, the
+      signed net count on the net-sign direction, and dict insertion
+      puts BOTH directed keys of a pair in at the pair's first
+      occurrence (the probe of the reverse key inserts it, and the
+      increment branch fires exactly when the pair is new) — so
+      emission order is pair-first-occurrence order with the net-sign
+      direction: one unique + argsort.
+    """
+    A = np.asarray(raw, dtype=np.int64)  # (n, 2, 2)
+    pts = A.reshape(-1, 2)
+    order = np.lexsort((pts[:, 0], pts[:, 1]))  # by y, then x
+    sp = pts[order]
+    newgrp = np.empty(len(sp), dtype=bool)
+    newgrp[0] = True
+    newgrp[1:] = (sp[1:, 1] != sp[:-1, 1]) | (sp[1:, 0] - sp[:-1, 0] > _WELD)
+    grp_start = np.maximum.accumulate(np.where(newgrp, np.arange(len(sp)), 0))
+    welded = np.empty_like(pts)
+    welded[order] = sp[grp_start]
+    P = welded[0::2]
+    Q = welded[1::2]
+
+    keep = (P[:, 0] != Q[:, 0]) | (P[:, 1] != Q[:, 1])  # collapsed slivers out
+    P = P[keep]
+    Q = Q[keep]
+    segs: list[tuple[tuple[int, int], tuple[int, int]]] = []
+    if len(P):
+        swap = (P[:, 0] > Q[:, 0]) | ((P[:, 0] == Q[:, 0]) & (P[:, 1] > Q[:, 1]))
+        lo = np.where(swap[:, None], Q, P)
+        hi = np.where(swap[:, None], P, Q)
+        key = np.concatenate([lo, hi], axis=1)  # canonical (m, 4)
+        uk, first_idx, inv = np.unique(
+            key, axis=0, return_index=True, return_inverse=True
+        )
+        net = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(net, inv, np.where(swap, -1, 1))
+        for ui in np.argsort(first_idx, kind="stable"):
+            s = int(net[ui])
+            if s == 0:
+                continue
+            p = (int(uk[ui, 0]), int(uk[ui, 1]))
+            q = (int(uk[ui, 2]), int(uk[ui, 3]))
+            if s < 0:
+                p, q, s = q, p, -s
+            segs.extend([(p, q)] * s)
+    return segs
+
+
+def _weld_and_chain(raw: list) -> list[np.ndarray]:
+    """Stages 2-3 of _stitch: junction weld + ring chaining. HYBRID weld
+    (same pattern as ``_stitch`` / ``_trap_table``): dict pass below
+    ~200 segments, vectorized above — both produce identical segs, so
+    the choice is invisible downstream."""
+    if not raw:
+        return []
+    if len(raw) < _WELD_VEC_MIN:
+        segs = _weld_segments_small(raw)
+    else:
+        segs = _weld_segments_vec(raw)
 
     # --- chain directed segments into rings -------------------------------
+    # degree-1 fast path: no node emits twice (the overwhelmingly common
+    # case — simple rings, no junctions), so the walk is a plain
+    # successor lookup; behavior is identical to the general path below
+    # when every candidate list has at most one entry.
+    out_single: dict[tuple[int, int], int] = {}
+    multi_out = False
+    for si, (p, q) in enumerate(segs):
+        if p in out_single:
+            multi_out = True
+            break
+        out_single[p] = si
+    if not multi_out:
+        used1 = [False] * len(segs)
+        rings1: list[np.ndarray] = []
+        for start in range(len(segs)):
+            if used1[start]:
+                continue
+            p0, cur = segs[start]
+            path = [p0, cur]
+            used1[start] = True
+            guard = 0
+            while cur != p0 and guard < len(segs) + 2:
+                guard += 1
+                nxt = out_single.get(cur)
+                if nxt is None or used1[nxt]:
+                    break
+                used1[nxt] = True
+                cur = segs[nxt][1]
+                path.append(cur)
+            if cur == p0 and len(path) > 3:
+                ring = np.asarray(path[:-1], dtype=np.float64) * SNAP
+                ring = _merge_collinear(ring)
+                if len(ring) >= 3 and abs(ring_area(ring)) > _MIN_AREA:
+                    rings1.append(ring)
+        return rings1
+
+    from collections import defaultdict
+
     out_map: dict[tuple[int, int], list[int]] = defaultdict(list)
     for si, (p, q) in enumerate(segs):
         out_map[p].append(si)
@@ -666,18 +774,26 @@ def _turn_angle(vin, vout) -> float:
 
 
 def _merge_collinear(ring: np.ndarray) -> np.ndarray:
-    if len(ring) < 3:
-        return ring
-    keep = []
     n = len(ring)
-    for i in range(n):
-        p = ring[(i - 1) % n]
-        q = ring[i]
-        r = ring[(i + 1) % n]
-        cross = (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
-        if abs(cross) > SNAP * SNAP * 0.25:
-            keep.append(i)
-    return ring[keep] if keep else ring[:0]
+    if n < 3:
+        return ring
+    if n <= 32:  # scalar path: np dispatch overhead beats it on tiny rings
+        keep = []
+        for i in range(n):
+            p = ring[(i - 1) % n]
+            q = ring[i]
+            r = ring[(i + 1) % n]
+            cross = (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
+            if abs(cross) > SNAP * SNAP * 0.25:
+                keep.append(i)
+        return ring[keep] if keep else ring[:0]
+    p = np.concatenate((ring[-1:], ring[:-1]))
+    r = np.concatenate((ring[1:], ring[:1]))
+    cross = (ring[:, 0] - p[:, 0]) * (r[:, 1] - p[:, 1]) - (
+        ring[:, 1] - p[:, 1]
+    ) * (r[:, 0] - p[:, 0])
+    keep = np.abs(cross) > SNAP * SNAP * 0.25
+    return ring[keep] if keep.any() else ring[:0]
 
 
 def boolean_op(

@@ -312,3 +312,148 @@ def test_erode_nonempty_matches_exact(seed):
             for d in (0.25, 1.0):
                 for nseg in (8, 16):
                     check(rings, d, nseg)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_weld_and_chain_matches_reference(seed):
+    """The vectorized weld + degree-1 chain fast path must reproduce the
+    sequential dict-based pass EXACTLY — ring values, ring order, and
+    ring start vertices — on raw event streams from real trapezoid
+    tables (random star pairs, junction-heavy crossing/shared-edge
+    cases, and capsule blocks)."""
+    from brdrq_spark.geom.clip import (
+        _INV_SNAP,
+        _stitch_events_small,
+        _stitch_events_vec,
+        _weld_and_chain,
+        _MIN_AREA,
+        _WELD,
+        SNAP,
+    )
+    from brdrq_spark.geom.core import ring_area
+    from brdrq_spark.geom.buffer import boundary_capsules
+
+    def reference_weld_and_chain(raw):
+        # verbatim pre-vectorization implementation
+        from collections import defaultdict
+
+        nodes_by_y = {}
+        for p, q in raw:
+            nodes_by_y.setdefault(p[1], []).append(p[0])
+            nodes_by_y.setdefault(q[1], []).append(q[0])
+        remap = {}
+        for ky, xs_list in nodes_by_y.items():
+            xs_sorted = sorted(set(xs_list))
+            group_rep = xs_sorted[0] if xs_sorted else 0
+            for i, x in enumerate(xs_sorted):
+                if i > 0 and x - xs_sorted[i - 1] > _WELD:
+                    group_rep = x
+                remap[(x, ky)] = (group_rep, ky)
+        merged = defaultdict(int)
+        for p, q in raw:
+            p2, q2 = remap[p], remap[q]
+            if p2 == q2:
+                continue
+            if merged[(q2, p2)] > 0:
+                merged[(q2, p2)] -= 1
+            else:
+                merged[(p2, q2)] += 1
+        segs = []
+        for (p, q), cnt in merged.items():
+            segs.extend([(p, q)] * cnt)
+        out_map = defaultdict(list)
+        for si, (p, q) in enumerate(segs):
+            out_map[p].append(si)
+        used = [False] * len(segs)
+        rings = []
+        from brdrq_spark.geom.clip import _merge_collinear, _turn_angle
+
+        for start in range(len(segs)):
+            if used[start]:
+                continue
+            path = [segs[start][0], segs[start][1]]
+            used[start] = True
+            cur = segs[start][1]
+            prev_pt = segs[start][0]
+            guard = 0
+            while cur != path[0] and guard < len(segs) + 2:
+                guard += 1
+                cands = [i for i in out_map.get(cur, []) if not used[i]]
+                if not cands:
+                    break
+                if len(cands) == 1:
+                    nxt = cands[0]
+                else:
+                    vin = (cur[0] - prev_pt[0], cur[1] - prev_pt[1])
+                    fwd = [i for i in cands if segs[i][1] != prev_pt]
+                    pool = fwd or cands
+                    nxt = max(
+                        pool,
+                        key=lambda i: _turn_angle(
+                            vin, (segs[i][1][0] - cur[0], segs[i][1][1] - cur[1])
+                        ),
+                    )
+                used[nxt] = True
+                prev_pt = cur
+                cur = segs[nxt][1]
+                path.append(cur)
+            if cur == path[0] and len(path) > 3:
+                ring = np.asarray(path[:-1], dtype=np.float64) * SNAP
+                ring = _merge_collinear(ring)
+                if len(ring) >= 3 and abs(ring_area(ring)) > _MIN_AREA:
+                    rings.append(ring)
+        return rings
+
+    def check_input(a_rings, b_rings, op="difference"):
+        from brdrq_spark.geom.clip import _trapezoids
+
+        traps = _trapezoids(a_rings, b_rings, op)
+        if not len(traps):
+            return
+        K = np.round(np.asarray(traps, dtype=np.float64) * _INV_SNAP).astype(
+            np.int64
+        )
+        from brdrq_spark.geom.clip import (
+            _weld_segments_small,
+            _weld_segments_vec,
+        )
+
+        for events in (_stitch_events_small, _stitch_events_vec):
+            raw = events(K)
+            if raw:
+                # both weld variants, forced regardless of size
+                assert _weld_segments_vec(list(raw)) == _weld_segments_small(
+                    list(raw)
+                )
+            got = _weld_and_chain(list(raw))
+            exp = reference_weld_and_chain(list(raw))
+            assert len(got) == len(exp), (len(got), len(exp))
+            for g, e in zip(got, exp):
+                assert np.array_equal(g, e)
+
+    rng = np.random.default_rng(9100 + seed)
+    rect = lambda x0, y0, x1, y1: np.array(
+        [[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=float
+    )
+    # junction-heavy adversarial cases (shared edges, crossings, nesting)
+    check_input([rect(0, 0, 10, 10)], [rect(5, 0, 15, 10)])
+    check_input([rect(0, 0, 10, 10)], [rect(10, 0, 20, 10)], "union")
+    check_input([rect(0, 0, 10, 10)], [rect(2, 2, 8, 8)])
+    check_input([rect(0, 0, 10, 10), rect(20, 0, 30, 10)], [rect(5, -5, 25, 5)])
+    check_input([rect(0, 0, 10, 10)], [rect(0, 0, 10, 10)])  # identical
+    # capsule blocks (the kernel hot shape)
+    star = star_poly(rng, 0, 0, 5, 9, 8)
+    caps = boundary_capsules([star], 1.0, 8, joins="interior")
+    if caps:
+        check_input([star], caps)
+    # random star pairs
+    for _ in range(25):
+        a = [star_poly(rng, 0, 0, 3, 7, rng.integers(3, 9))]
+        b = [
+            star_poly(
+                rng, rng.uniform(-4, 4), rng.uniform(-4, 4), 3, 7,
+                rng.integers(3, 9),
+            )
+        ]
+        for op in ("difference", "intersection", "union"):
+            check_input(a, b, op)
