@@ -73,6 +73,13 @@ def distance_grid(max_rd: float, step: float = 0.1) -> list[float]:
     not in evaluate — because the kernel rebuilds per-theme grids from
     AlignConfig.step_col; evaluate re-exports it."""
     cents = np.arange(0.0, max_rd * 100.0 + step * 100.0, step * 100.0)
+    # Never exceed max_rd: when max_rd is not a step multiple the arange
+    # endpoint overshoots (2.2/0.5 -> 2.5), and every dilation / bbox /
+    # candidate bound downstream is sized from max(relevant_distances) —
+    # an overshooting per-theme grid would silently sweep beyond the
+    # candidate radius (ADVICE r6). Capping HERE keeps the bucketed and
+    # fused (step_col) formulations identical by construction.
+    cents = cents[cents <= max_rd * 100.0 + 1e-6]
     return [round(float(c) / 100.0, 2) for c in cents]
 
 

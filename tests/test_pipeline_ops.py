@@ -32,6 +32,11 @@ def test_distance_grid_matches_reference_shape():
     g = distance_grid(2.0, 0.5)
     assert g == [0.0, 0.5, 1.0, 1.5, 2.0]
     assert distance_grid(0.3, 0.1) == [0.0, 0.1, 0.2, 0.3]
+    # non-multiple max_rd must CAP, not overshoot: candidate dilation is
+    # sized from max(relevant_distances), so a 2.5 entry here would
+    # sweep beyond the candidate radius (ADVICE r6)
+    assert distance_grid(2.2, 0.5) == [0.0, 0.5, 1.0, 1.5, 2.0]
+    assert distance_grid(2.2, 0.1)[-1] == 2.2
 
 
 def test_evaluate_stability_and_predictions(spark, small_tables):

@@ -104,11 +104,18 @@ def test_evaluate_auto_step_blocks_and_coarsens(spark):
     assert small and not (small <= coarse)  # small theme: fine 10 cm grid
 
 
-def test_fused_auto_step_matches_per_bucket_aligns(spark):
+import pytest
+
+
+@pytest.mark.parametrize("max_rd", [2.0, 2.2])
+def test_fused_auto_step_matches_per_bucket_aligns(spark, max_rd):
     """The per-theme-step fused sweep (one align pass, step column
     driving the kernel grid) must produce EXACTLY the rows of the
     two-bucket formulation it replaced: align(small themes, fine grid)
-    union align(big themes, coarse grid), value for value."""
+    union align(big themes, coarse grid), value for value. max_rd=2.2
+    exercises the non-step-multiple case where an overshooting kernel
+    grid (2.5 > 2.2) would out-sweep the candidate dilation sized from
+    max(relevant_distances) (ADVICE r6)."""
     from brdrq_spark.operators.align import AlignConfig, align, distance_grid
     from dataclasses import replace as _dc_replace
     from pyspark.sql import functions as F
@@ -131,7 +138,7 @@ def test_fused_auto_step_matches_per_bucket_aligns(spark):
             ]
         )
     )
-    max_rd, fine, coarse = 2.0, 0.1, 0.5
+    fine, coarse = 0.1, 0.5
     cfg = AlignConfig(relevant_distances=distance_grid(max_rd, fine))
     stepped = themes.withColumn(
         "_step",
