@@ -196,6 +196,7 @@ def knn_with_escalation(
     max_radius: float = 80.0,
     growth: float = 2.0,
     max_refs_per_group: int = 256,
+    materialize: bool = False,
 ) -> DataFrame:
     """Expanding-ring kNN (J6 escalation): run the bounded search at
     ``search_radius``; vertices it leaves uncovered re-run at
@@ -219,14 +220,28 @@ def knn_with_escalation(
     each uncovered generation is counted (full materialization, so the
     count doubles as the cache fill) and its predecessor unpersisted —
     at cluster scale a 4-ring escalation must not leave four stale
-    shrinking vertex sets pinned in executor storage."""
+    shrinking vertex sets pinned in executor storage.
+
+    Cache contract: with ``materialize=False`` (default, lazy) the
+    returned plan still references the base + per-ring persisted
+    DataFrames — the caller's first action fills them, and they stay
+    pinned until the caller is done with the result. Pass
+    ``materialize=True`` to consolidate: the union is persisted and
+    counted once, every ring cache is released before returning, and
+    the caller owns exactly ONE persisted DataFrame (unpersist it when
+    finished). Long-lived sessions should use ``materialize=True``."""
     from pyspark import StorageLevel
 
+    if growth <= 1.0:
+        # growth <= 1 never advances r: the loop would re-run the same
+        # radius against an unchanged uncovered set forever
+        raise ValueError(f"growth must be > 1.0, got {growth}")
     verts = theme_vertices(theme_df)
     out = knn_boundary_segments(
         spark, theme_df, ref_df, k, search_radius, max_refs_per_group
     ).persist(StorageLevel.MEMORY_AND_DISK)
     acc = out
+    pinned = [out]
     uncovered = verts.join(
         out.select("theme_id", "vertex_idx"), ["theme_id", "vertex_idx"], "left_anti"
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -243,6 +258,7 @@ def knn_with_escalation(
             ["theme_id", "vertex_idx"],
             "left_semi",
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        pinned.append(ring)
         acc = acc.unionByName(ring)
         nxt = uncovered.join(
             ring.select("theme_id", "vertex_idx"),
@@ -254,4 +270,9 @@ def knn_with_escalation(
         uncovered = nxt
         r *= growth
     uncovered.unpersist()
+    if materialize:
+        acc = acc.persist(StorageLevel.MEMORY_AND_DISK)
+        acc.count()  # fill the consolidated cache, then release the rings
+        for h in pinned:
+            h.unpersist()
     return acc

@@ -20,6 +20,7 @@ MultiPolygon (4-deep) coordinates break its schema inference.
 from __future__ import annotations
 
 import json
+import re
 from collections.abc import Iterator
 
 import numpy as np
@@ -346,6 +347,36 @@ def write_geojson(
         json.dump({"type": "FeatureCollection", "features": feats}, f)
 
 
+# Sharded-FeatureCollection part header: _part_header is the only
+# producer, _PART_HEADER_RE the only consumer, and a unit test next to
+# the writer pins that they agree — the index derivation prefix-reads
+# this from each written file, so the layout is part of the on-disk
+# format, not an accident of json.dumps defaults.
+_HEADER_READ = 256  # bytes; header is ~80 chars, margin for long counts
+_PART_HEADER_RE = re.compile(
+    r'^\{"type": "FeatureCollection", "part_id": "([^"]+)", "n_features": (\d+)\}'
+)
+
+
+def _part_header(part_id: str, n_features: int) -> str:
+    return json.dumps(
+        {
+            "type": "FeatureCollection",
+            "part_id": part_id,
+            "n_features": n_features,
+        }
+    )
+
+
+def _parse_part_header(prefix: str) -> tuple[str, int]:
+    # match against the header re-closed as its own object (the written
+    # line continues with `, "features": …`)
+    m = _PART_HEADER_RE.match(prefix.split(', "features"')[0] + "}")
+    if not m:
+        raise ValueError(f"unrecognized GeoJSON part header: {prefix[:80]!r}")
+    return m.group(1), int(m.group(2))
+
+
 def write_geojson_parts(
     spark: SparkSession, df: DataFrame, path: str, geom_col: str = "geom_wkb"
 ) -> dict:
@@ -393,13 +424,21 @@ def write_geojson_parts(
         # file's embedded id, leaving consumers with phantom parts
         ctx = TaskContext.get()
         part_id = f"part-{ctx.partitionId():05d}" if ctx else "part-00000"
-        fc = {
-            "type": "FeatureCollection",
-            "part_id": part_id,
-            "n_features": len(feats),
-            "features": feats,
-        }
-        yield pd.DataFrame({"value": [json.dumps(fc)]})
+        # header serialized SEPARATELY and spliced ahead of the feature
+        # payload: the index derivation prefix-reads it with
+        # _PART_HEADER_RE, so its byte layout must not drift with however
+        # the (large) feature array serializes. _part_header is the one
+        # producer; the regex + a unit test pin the format.
+        yield pd.DataFrame(
+            {
+                "value": [
+                    _part_header(part_id, len(feats))[:-1]
+                    + ', "features": '
+                    + json.dumps(feats)
+                    + "}"
+                ]
+            }
+        )
 
     fc_rows = gj_df.mapInPandas(to_fc, schema="value string")
     # single action over the upstream plan: the text write. The index is
@@ -407,24 +446,27 @@ def write_geojson_parts(
     # it can never disagree with them (a second action over persisted
     # rows could: an evicted block after a nondeterministic shuffle
     # recomputes a partition whose n_features differs from what was
-    # written). The part header ("part_id"/"n_features" foreign members)
-    # is serialized before the feature array (json.dumps preserves
-    # insertion order), so a prefix regex reads it without re-parsing
-    # the geometry payload.
+    # written). Only the first _HEADER_READ bytes of each part file are
+    # read (Hadoop FS API) — a full spark.read.text pass would
+    # re-materialize every written byte just to take a 160-char prefix.
     fc_rows.write.mode("overwrite").text(path)
-    header = F.substring(F.col("value"), 1, 160)
-    parts = [
-        {"part_id": r.part_id, "n_features": int(r.n)}
-        for r in spark.read.text(path)
-        .where(F.length("value") > 0)
-        .select(
-            F.regexp_extract(header, r'"part_id": "([^"]+)"', 1).alias("part_id"),
-            F.regexp_extract(header, r'"n_features": (\d+)', 1)
-            .cast("long")
-            .alias("n"),
-        )
-        .collect()
-    ]
+    jvm = spark._jvm
+    dpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = dpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    parts = []
+    for st in fs.listStatus(dpath):
+        name = st.getPath().getName()
+        if name.startswith(("_", ".")) or st.getLen() == 0:
+            continue
+        ins = fs.open(st.getPath())
+        try:
+            # readNBytes RETURNS the byte[] (py4j → bytes); an in/out
+            # buffer argument would not round-trip through py4j
+            buf = ins.readNBytes(_HEADER_READ)
+        finally:
+            ins.close()
+        pid, cnt = _parse_part_header(bytes(buf).decode("utf-8", "replace"))
+        parts.append({"part_id": pid, "n_features": cnt})
     index = {
         "format": "geojson_parts",
         "n_parts": len(parts),

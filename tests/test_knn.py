@@ -159,3 +159,41 @@ def test_knn_expanding_ring_escalation(spark):
     )
     assert esc_v0 == base_v0
     assert not [r for r in out if r.theme_id == "orphan"]
+
+
+def test_knn_escalation_cache_contract(spark):
+    """materialize=True consolidates: same rows as the lazy path, every
+    per-ring cache released, exactly one persisted DataFrame handed to
+    the caller. growth<=1 (a loop that would never advance r) raises."""
+    from brdrq_spark.operators.knn import knn_with_escalation
+
+    O = np.array([170100.0, 170100.0])
+    ref_df = spark.createDataFrame(
+        pd.DataFrame(
+            [{"ref_id": "A", "geom_wkb": rings_to_wkb(
+                [np.array([[0.0, 0], [10, 0], [10, 10], [0, 10]]) + O])}]
+        )
+    )
+    tri = np.array([[11.0, 4.0], [20.0, 5.0], [11.0, 6.0]]) + O
+    th_df = spark.createDataFrame(
+        pd.DataFrame([{"theme_id": "t", "geom_wkb": rings_to_wkb([tri])}])
+    )
+
+    with pytest.raises(ValueError, match="growth"):
+        knn_with_escalation(spark, th_df, ref_df, growth=1.0)
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = knn_with_escalation(
+        spark, th_df, ref_df, k=2, search_radius=6.0, max_radius=48.0,
+        growth=2.0, materialize=True,
+    )
+    after = jsc.getPersistentRDDs().size()
+    # base + ring caches released; only the consolidated union remains
+    assert after - before == 1
+    lazy = knn_with_escalation(
+        spark, th_df, ref_df, k=2, search_radius=6.0, max_radius=48.0
+    )
+    key = lambda r: (r.theme_id, r.vertex_idx, r.rank, r.ref_id, r.seg_idx)
+    assert sorted(map(key, out.collect())) == sorted(map(key, lazy.collect()))
+    out.unpersist()

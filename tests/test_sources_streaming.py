@@ -447,6 +447,29 @@ def test_write_geojson_parts_roundtrip_large(spark, tmp_path):
     assert back.select("feature_id").distinct().count() == n
 
 
+def test_geojson_part_header_format_pinned():
+    """The sharded sink's part header is an on-disk format: the writer
+    (_part_header) and the index derivation's prefix parser
+    (_PART_HEADER_RE) must agree byte-for-byte, a full written line must
+    parse from its first 256 bytes, and garbage must raise — not yield
+    empty ids / null counts (ADVICE r6)."""
+    from brdrq_spark.sources.geojson import (
+        _HEADER_READ,
+        _parse_part_header,
+        _part_header,
+    )
+
+    hdr = _part_header("part-00042", 123_456)
+    assert len(hdr) < _HEADER_READ  # prefix read always covers the header
+    assert _parse_part_header(hdr) == ("part-00042", 123456)
+    # exactly as written: header spliced ahead of the feature payload
+    line = hdr[:-1] + ', "features": ' + json.dumps([{"type": "Feature"}]) + "}"
+    assert _parse_part_header(line[:_HEADER_READ]) == ("part-00042", 123456)
+    assert json.loads(line)["n_features"] == 123456  # still strict JSON
+    with pytest.raises(ValueError, match="part header"):
+        _parse_part_header('{"type": "FeatureCollection", "features": []}')
+
+
 def test_write_geojson_single_file_json_safe(spark, tmp_path):
     """The single-file writer shares _json_safe with the sharded one:
     timestamp / NaN / array columns export as valid strict JSON instead
