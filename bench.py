@@ -258,6 +258,11 @@ def main():
             results[name] = round(t, 3)
 
         total = sum(results.values())
+        # round-over-round comparability: evaluate_sweep entered the
+        # suite in round 6, which broke the headline `value` diff
+        # against earlier rounds — suite_core is the pre-round-6 query
+        # set, stable across all rounds
+        suite_core = round(total - results["evaluate_sweep"], 3)
         align_throughput = n_aligned / t_align if t_align > 0 else 0.0
 
         # --- scaling: identical align job at N and 4N threads, each in a
@@ -352,6 +357,19 @@ def main():
         if lo in pts and hi in pts:
             eff = pts[hi]["rows_per_sec"] / ((hi / lo) * pts[lo]["rows_per_sec"])
             scaling["efficiency"] = round(eff, 3)
+            # outlier-robust companion estimator: one anomalously fast
+            # sample at either level swings the min-pair ratio by ~±0.2
+            # across the 0.85 line (round-6 runs 7/8: 0.845 then 1.024
+            # on identical code); the median pair barely moves under a
+            # single outlier. Both are reported — min stays the primary
+            # (it is what the noise protocol was calibrated for).
+            import statistics
+
+            med_lo = statistics.median(samples[lo])
+            med_hi = statistics.median(samples[hi])
+            scaling["efficiency_median"] = round(
+                med_lo / ((hi / lo) * med_hi), 3
+            )
         else:
             scaling["efficiency"] = None
             scaling["error"] = "insufficient_samples"
@@ -384,6 +402,7 @@ def main():
                 {
                     "metric": "brdrq_spark headline suite (align+footprints+relational)",
                     "value": round(total, 3),
+                    "suite_core": suite_core,
                     "unit": "sec",
                     "queries": results,
                     "sf": SF,

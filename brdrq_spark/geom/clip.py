@@ -268,6 +268,60 @@ def _trap_table_small(a_rings: list[np.ndarray], b_rings: list[np.ndarray]):
     )
 
 
+def _beam_sort(
+    bidx: np.ndarray, xm: np.ndarray, xlo: np.ndarray, xhi: np.ndarray
+) -> np.ndarray:
+    """Argsort of the flat (edge, beam) table by (bidx, xm, xlo, xhi,
+    original index) — exactly ``np.lexsort((xhi, xlo, xm, bidx))``, but
+    ~3x faster on the big capsule-union tables where that lexsort was
+    the single largest cost (np.lexsort pays a slow stable FLOAT
+    mergesort per key; a dense-rank + one int64 radix argsort does the
+    same ordering in linear-ish time):
+
+    * rank xm densely (one float quicksort — tie order irrelevant for
+      ranking), pack (bidx, rank) into one int64, radix-argsort it
+      (numpy's stable sort for ints);
+    * rows tying on (bidx, xm) — coincident/stacked edges — are then
+      repaired with a small lexsort over just the tied runs, keeping
+      (xlo, xhi, original index) order. Radix stability preserves
+      original index order inside runs, so the repair reproduces the
+      full lexsort bit-for-bit.
+
+    Falls back to np.lexsort when the packed key would overflow int64
+    (beams * distinct-xm >= 2^63 — never at sane table sizes)."""
+    n = len(bidx)
+    if n <= 1:
+        return np.arange(n)
+    o = np.argsort(xm)  # quicksort: only the VALUE groups matter
+    sv = xm[o]
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = sv[1:] != sv[:-1]
+    rank = np.empty(n, dtype=np.int64)
+    rank[o] = np.cumsum(new) - 1
+    nlev = int(rank[o[-1]]) + 1
+    nb = int(bidx.max()) + 1
+    if nb > (2**63 - 1) // max(nlev, 1):
+        return np.lexsort((xhi, xlo, xm, bidx))
+    comp = bidx * nlev + rank
+    if nb * nlev < 2**31:  # half the radix passes when the key fits
+        comp = comp.astype(np.int32)
+    order = np.argsort(comp, kind="stable")  # radix for ints
+    cs = comp[order]
+    tie = cs[1:] == cs[:-1]
+    if tie.any():
+        in_run = np.empty(n, dtype=bool)
+        in_run[0] = False
+        in_run[1:] = tie
+        in_run[:-1] |= tie
+        ti = np.flatnonzero(in_run)
+        run_id = np.cumsum(~np.concatenate(([True], tie)))[ti]
+        sub = order[ti]
+        so = np.lexsort((xhi[sub], xlo[sub], run_id))
+        order[ti] = sub[so]
+    return order
+
+
 def _trap_table_np(a_rings: list[np.ndarray], b_rings: list[np.ndarray]):
     """Vectorized scanbeam table (the original path; see _trap_table)."""
     segs: list = []
@@ -307,23 +361,28 @@ def _trap_table_np(a_rings: list[np.ndarray], b_rings: list[np.ndarray]):
     xhi = ex0 + (yhi - ey0) * einv * edx
     xm = 0.5 * (xlo + xhi)
 
-    order = np.lexsort((xhi, xlo, xm, bidx))
+    order = _beam_sort(bidx, xm, xlo, xhi)
     bs = bidx[order]; xlo_s = xlo[order]; xhi_s = xhi[order]
-    te = tag[eidx[order]]; de = dw[eidx[order]]
+    eo = eidx[order]
+    te = tag[eo]; de = dw[eo]
 
     # --- segmented winding cumsums ----------------------------------------
-    dwa = np.where(te == 0, de, 0)
-    dwb = np.where(te == 1, de, 0)
-    wa = np.cumsum(dwa)
-    wb = np.cumsum(dwb)
+    # both winding counts ride ONE cumsum: operand-a deltas in the low
+    # field, operand-b shifted past any possible |partial sum| (<= total
+    # edges < 2^30), so the fields never interfere — exact int math,
+    # identical to two separate cumsums
+    SHIFT = np.int64(1) << 32
+    dwc = np.where(te == 0, de, de * SHIFT)
+    wc = np.cumsum(dwc)
     new_grp = np.empty(total, dtype=bool)
     new_grp[0] = True
     new_grp[1:] = bs[1:] != bs[:-1]
     grp_id = np.cumsum(new_grp) - 1
-    base_a = (wa[new_grp] - dwa[new_grp])[grp_id]
-    base_b = (wb[new_grp] - dwb[new_grp])[grp_id]
-    ins_a = (wa - base_a) != 0
-    ins_b = (wb - base_b) != 0
+    rel = wc - (wc[new_grp] - dwc[new_grp])[grp_id]
+    # decompose: b = round(rel / 2^32) once |a| < 2^31 (nearest multiple)
+    relb = (rel + (SHIFT >> 1)) >> 32
+    ins_b = relb != 0
+    ins_a = (rel - relb * SHIFT) != 0
     grp_end = np.empty(total, dtype=bool)
     grp_end[:-1] = new_grp[1:]
     grp_end[-1] = True
@@ -470,11 +529,17 @@ def _stitch_events_small(K) -> list:
     return raw
 
 
-def _stitch_events_vec(K) -> list:
+def _stitch_events_vec(K) -> np.ndarray:
     """Vectorized event extraction for LARGE trapezoid tables (dense
     urban unions, capsule-buffer unions): horizontal interval
     cancellation and directed-side annihilation as lexsort + reduceat
-    group sums — O(n log n) numpy instead of per-trapezoid dict ops."""
+    group sums — O(n log n) numpy instead of per-trapezoid dict ops.
+
+    Returns an (n, 4) int64 array of rows [px, py, qx, qy] in the SAME
+    emission order this function produced as a tuple list (horizontal
+    rows first, then directed sides in canonical-sort order with |net|
+    copies contiguous) — the weld consumes the array directly, so no
+    per-event tuples are built on the hot path."""
     kylo, kyhi = K[:, 0], K[:, 1]
     kl_lo, kr_lo, kl_hi, kr_hi = K[:, 2], K[:, 3], K[:, 4], K[:, 5]
     keep = ~((kl_lo == kr_lo) & (kl_hi == kr_hi))  # zero width at snap res
@@ -483,7 +548,7 @@ def _stitch_events_vec(K) -> list:
         kl_lo[keep], kr_lo[keep], kl_hi[keep], kr_hi[keep]
     )
 
-    raw: list[tuple[tuple[int, int], tuple[int, int]]] = []
+    chunks: list[np.ndarray] = []  # (k, 4) int64 rows [px, py, qx, qy]
 
     # --- horizontal interval cancellation per y ---------------------------
     # bottom of a trapezoid: interior above => rightward (+1)
@@ -521,15 +586,13 @@ def _stitch_events_vec(K) -> list:
         rowlast = np.append(rowstart[1:], True)
         m = (~rowlast) & (level != 0)
         mi = np.flatnonzero(m)
-        for i in mi:
-            if level[i] > 0:  # net bottom boundary -> rightward
-                raw.append(
-                    ((int(gx[i]), int(gy[i])), (int(gx[i + 1]), int(gy[i])))
-                )
-            else:  # net top boundary -> leftward
-                raw.append(
-                    ((int(gx[i + 1]), int(gy[i])), (int(gx[i]), int(gy[i])))
-                )
+        if len(mi):
+            # net bottom boundary (level>0) -> rightward, top -> leftward
+            pos = level[mi] > 0
+            hx0 = np.where(pos, gx[mi], gx[mi + 1])
+            hx1 = np.where(pos, gx[mi + 1], gx[mi])
+            hy = gy[mi]
+            chunks.append(np.column_stack([hx0, hy, hx1, hy]))
 
     # --- directed side segments with cancellation --------------------------
     # a segment and its exact reverse (a shared internal edge, e.g. two
@@ -562,16 +625,22 @@ def _stitch_events_vec(K) -> list:
         )
         starts = np.flatnonzero(new)
         net = np.add.reduceat(sgn, starts)
-        for j, s in zip(starts, net):
-            if s == 0:
-                continue
-            p = (int(ax[j]), int(ay[j]))
-            q = (int(bx[j]), int(by[j]))
-            if s > 0:
-                raw.extend([(p, q)] * int(s))
-            else:
-                raw.extend([(q, p)] * int(-s))
-    return raw
+        nz = net != 0
+        if nz.any():
+            js = starts[nz]
+            s = net[nz]
+            neg = (s < 0)[:, None]
+            p = np.column_stack([ax[js], ay[js]])
+            q = np.column_stack([bx[js], by[js]])
+            rows = np.concatenate(
+                [np.where(neg, q, p), np.where(neg, p, q)], axis=1
+            )
+            # emission order matches the sequential loop: canonical-sort
+            # order, |net| copies contiguous per key (np.repeat)
+            chunks.append(np.repeat(rows, np.abs(s), axis=0))
+    if not chunks:
+        return np.zeros((0, 4), dtype=np.int64)
+    return np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
 
 
 _WELD_VEC_MIN = 192  # raw segs; below, the dict weld beats numpy overhead
@@ -611,10 +680,11 @@ def _weld_segments_small(raw: list) -> list:
     return segs
 
 
-def _weld_segments_vec(raw: list) -> list:
+def _weld_segments_vec(raw) -> np.ndarray:
     """Vectorized weld for LARGE event streams (capsule-block unions).
-    Reproduces ``_weld_segments_small`` EXACTLY (seg values AND order —
-    pinned by test_weld_and_chain_matches_reference):
+    Accepts a tuple list or an (n, 4) int64 array; returns (m, 4) int64
+    rows. Reproduces ``_weld_segments_small`` EXACTLY (seg values AND
+    order — pinned by test_weld_and_chain_matches_reference):
 
     * node merge: endpoints sort by (y, x); a run breaks where the gap
       to the previous distinct x exceeds _WELD (the chain rule — gap
@@ -629,7 +699,7 @@ def _weld_segments_vec(raw: list) -> list:
       emission order is pair-first-occurrence order with the net-sign
       direction: one unique + argsort.
     """
-    A = np.asarray(raw, dtype=np.int64)  # (n, 2, 2)
+    A = np.asarray(raw, dtype=np.int64)  # (n, 4) or legacy (n, 2, 2)
     pts = A.reshape(-1, 2)
     order = np.lexsort((pts[:, 0], pts[:, 1]))  # by y, then x
     sp = pts[order]
@@ -645,41 +715,139 @@ def _weld_segments_vec(raw: list) -> list:
     keep = (P[:, 0] != Q[:, 0]) | (P[:, 1] != Q[:, 1])  # collapsed slivers out
     P = P[keep]
     Q = Q[keep]
-    segs: list[tuple[tuple[int, int], tuple[int, int]]] = []
-    if len(P):
-        swap = (P[:, 0] > Q[:, 0]) | ((P[:, 0] == Q[:, 0]) & (P[:, 1] > Q[:, 1]))
-        lo = np.where(swap[:, None], Q, P)
-        hi = np.where(swap[:, None], P, Q)
+    if not len(P):
+        return np.zeros((0, 4), dtype=np.int64)
+    swap = (P[:, 0] > Q[:, 0]) | ((P[:, 0] == Q[:, 0]) & (P[:, 1] > Q[:, 1]))
+    lo = np.where(swap[:, None], Q, P)
+    hi = np.where(swap[:, None], P, Q)
+    # group canonical pairs by packed-int64 endpoint keys (two radix
+    # lexsort passes + reduceat) instead of np.unique over 32-byte void
+    # records; group CONTENT and first-occurrence order are what matter,
+    # and both are preserved (first_idx = min original index per group,
+    # the same thing np.unique(return_index) yields)
+    nmin = np.minimum(lo.min(axis=0), hi.min(axis=0))
+    span = np.maximum(lo.max(axis=0), hi.max(axis=0)) - nmin
+    if span[0] < 2**31 and span[1] < 2**31:
+        HI = np.int64(1) << 32
+        kp = (lo[:, 0] - nmin[0]) * HI + (lo[:, 1] - nmin[1])
+        kq = (hi[:, 0] - nmin[0]) * HI + (hi[:, 1] - nmin[1])
+        gorder = np.lexsort((kq, kp))
+        kps, kqs = kp[gorder], kq[gorder]
+        newg = np.empty(len(gorder), dtype=bool)
+        newg[0] = True
+        newg[1:] = (kps[1:] != kps[:-1]) | (kqs[1:] != kqs[:-1])
+        starts = np.flatnonzero(newg)
+        net = np.add.reduceat(np.where(swap, -1, 1)[gorder], starts)
+        first_idx = np.minimum.reduceat(gorder, starts)
+        rep = gorder[starts]  # any member carries the canonical key
+        uk = np.concatenate([lo[rep], hi[rep]], axis=1)
+    else:  # geometry wider than 2^31 snap units (~2 km): void path
         key = np.concatenate([lo, hi], axis=1)  # canonical (m, 4)
         uk, first_idx, inv = np.unique(
             key, axis=0, return_index=True, return_inverse=True
         )
         net = np.zeros(len(uk), dtype=np.int64)
         np.add.at(net, inv, np.where(swap, -1, 1))
-        for ui in np.argsort(first_idx, kind="stable"):
-            s = int(net[ui])
-            if s == 0:
-                continue
-            p = (int(uk[ui, 0]), int(uk[ui, 1]))
-            q = (int(uk[ui, 2]), int(uk[ui, 3]))
-            if s < 0:
-                p, q, s = q, p, -s
-            segs.extend([(p, q)] * s)
-    return segs
+    # emission in pair-first-occurrence order, |net| copies each, flipped
+    # to the net-sign direction — vectorized twin of the tuple loop
+    order2 = np.argsort(first_idx, kind="stable")
+    net_o = net[order2]
+    nz = net_o != 0
+    if not nz.any():
+        return np.zeros((0, 4), dtype=np.int64)
+    ks = order2[nz]
+    s = net_o[nz]
+    neg = (s < 0)[:, None]
+    fwd = uk[ks]
+    rev = np.concatenate([uk[ks, 2:], uk[ks, :2]], axis=1)
+    rows = np.where(neg, rev, fwd)
+    return np.repeat(rows, np.abs(s), axis=0)
 
 
-def _weld_and_chain(raw: list) -> list[np.ndarray]:
+def _weld_and_chain(raw) -> list[np.ndarray]:
     """Stages 2-3 of _stitch: junction weld + ring chaining. HYBRID weld
     (same pattern as ``_stitch`` / ``_trap_table``): dict pass below
     ~200 segments, vectorized above — both produce identical segs, so
-    the choice is invisible downstream."""
-    if not raw:
+    the choice is invisible downstream. ``raw`` is a tuple list (small
+    event path) or an (n, 4) int64 array (vectorized event path); the
+    large route stays arrays end-to-end (_weld_segments_vec →
+    _chain_arr) so no per-segment tuples are built."""
+    if not len(raw):
         return []
-    if len(raw) < _WELD_VEC_MIN:
-        segs = _weld_segments_small(raw)
-    else:
-        segs = _weld_segments_vec(raw)
+    if len(raw) >= _WELD_VEC_MIN:
+        return _chain_arr(_weld_segments_vec(raw))
+    if isinstance(raw, np.ndarray):
+        raw = [
+            ((int(a), int(b)), (int(c), int(d))) for a, b, c, d in raw.tolist()
+        ]
+    return _chain_list(_weld_segments_small(raw))
 
+
+def _chain_arr(S: np.ndarray) -> list[np.ndarray]:
+    """Ring chaining over welded (m, 4) int64 seg rows. Nodes compress
+    to dense ids via one unique pass; the degree-1 walk (no node emits
+    twice — the overwhelmingly common case) is successor-array lookups
+    over Python ints. Junction streams fall back to the tuple-based
+    general path — bit-identical either way (the equivalence test runs
+    both)."""
+    m = len(S)
+    if m == 0:
+        return []
+    nodes = S.reshape(-1, 2)
+    # packed 1-D unique instead of np.unique(axis=0): the void-record
+    # sort memcmps 16-byte rows; one int64 radix-ish sort is ~4x faster.
+    # Only node GROUPING matters (ids are internal), so the different
+    # unique order is invisible — ring output gathers raw coordinates.
+    nmin = nodes.min(axis=0)
+    span = nodes.max(axis=0) - nmin
+    if span[0] < 2**31 and span[1] < 2**31:
+        packed = (nodes[:, 0] - nmin[0]) * (np.int64(1) << 32) + (
+            nodes[:, 1] - nmin[1]
+        )
+        pu, inv = np.unique(packed, return_inverse=True)
+        uniq = np.column_stack([pu >> 32, pu & np.int64(0xFFFFFFFF)]) + nmin
+    else:  # geometry wider than 2^31 snap units (~2 km): void path
+        uniq, inv = np.unique(nodes, axis=0, return_inverse=True)
+    pid = inv[0::2]
+    qid = inv[1::2]
+    counts = np.bincount(pid, minlength=len(uniq))
+    if (counts > 1).any():  # a junction node: general leftmost-turn walk
+        return _chain_list(
+            [((int(a), int(b)), (int(c), int(d))) for a, b, c, d in S.tolist()]
+        )
+    succ = np.full(len(uniq), -1, dtype=np.int64)
+    succ[pid] = np.arange(m)
+    coords = uniq.astype(np.float64) * SNAP
+    succ_l = succ.tolist()
+    pid_l = pid.tolist()
+    qid_l = qid.tolist()
+    used = [False] * m
+    rings: list[np.ndarray] = []
+    for start in range(m):
+        if used[start]:
+            continue
+        used[start] = True
+        p0 = pid_l[start]
+        cur = qid_l[start]
+        seglist = [start]
+        while cur != p0:
+            nxt = succ_l[cur]
+            if nxt < 0 or used[nxt]:
+                break
+            used[nxt] = True
+            seglist.append(nxt)
+            cur = qid_l[nxt]
+        if cur == p0 and len(seglist) >= 3:
+            ring = coords[[p0] + [qid_l[s] for s in seglist[:-1]]]
+            ring = _merge_collinear(ring)
+            if len(ring) >= 3 and abs(ring_area(ring)) > _MIN_AREA:
+                rings.append(ring)
+    return rings
+
+
+def _chain_list(segs: list) -> list[np.ndarray]:
+    """Ring chaining over welded tuple-pair segs (small streams and
+    junction fallbacks)."""
     # --- chain directed segments into rings -------------------------------
     # degree-1 fast path: no node emits twice (the overwhelmingly common
     # case — simple rings, no junctions), so the walk is a plain

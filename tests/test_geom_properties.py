@@ -418,15 +418,30 @@ def test_weld_and_chain_matches_reference(seed):
             _weld_segments_vec,
         )
 
+        def as_tuples(x):
+            # vec paths speak (n, 4) int64 arrays; the sequential
+            # reference speaks tuple pairs — normalize for comparison
+            if isinstance(x, np.ndarray):
+                return [
+                    ((int(a), int(b)), (int(c), int(d)))
+                    for a, b, c, d in x.tolist()
+                ]
+            return list(x)
+
         for events in (_stitch_events_small, _stitch_events_vec):
             raw = events(K)
-            if raw:
-                # both weld variants, forced regardless of size
-                assert _weld_segments_vec(list(raw)) == _weld_segments_small(
-                    list(raw)
+            raw_list = as_tuples(raw)
+            if raw_list:
+                # both weld variants, forced regardless of size; the vec
+                # weld must also accept list input (legacy shape)
+                assert as_tuples(_weld_segments_vec(raw_list)) == (
+                    _weld_segments_small(raw_list)
                 )
-            got = _weld_and_chain(list(raw))
-            exp = reference_weld_and_chain(list(raw))
+                assert as_tuples(_weld_segments_vec(raw)) == (
+                    _weld_segments_small(raw_list)
+                )
+            got = _weld_and_chain(raw)
+            exp = reference_weld_and_chain(raw_list)
             assert len(got) == len(exp), (len(got), len(exp))
             for g, e in zip(got, exp):
                 assert np.array_equal(g, e)
