@@ -227,6 +227,27 @@ def test_stitch_vec_matches_small_path():
     assert a == b and len(a) >= 1
 
 
+def test_wide_span_union_void_fallback():
+    """Geometry spanning more than 2^31 snap units (~2.1 km) takes the
+    void-record grouping fallbacks in the vectorized weld and chain
+    (packed int64 node keys would overflow). A 3 km chain of 200
+    overlapping squares welds into ONE ring with the exact chained
+    area: 100 pair-unions of 950 m² minus 99 chain overlaps of 100 m²."""
+    import numpy as np
+
+    from brdrq_spark.geom.clip import boolean_op
+    from brdrq_spark.geom.core import ring_area
+
+    sq = lambda x0, y0, s: np.array(
+        [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s]]
+    )
+    a = [sq(i * 30.0, 0.0, 25.0) for i in range(100)]
+    b = [sq(i * 30.0 + 10.0, 5.0, 25.0) for i in range(100)]
+    out = boolean_op(a, b, "union")
+    assert len(out) == 1
+    assert abs(abs(ring_area(out[0])) - (100 * 950.0 - 99 * 100.0)) < 1e-6
+
+
 def test_split_parts_groups_holes_with_outers():
     import numpy as np
 
