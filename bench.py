@@ -370,6 +370,16 @@ def main():
             scaling["efficiency_median"] = round(
                 med_lo / ((hi / lo) * med_hi), 3
             )
+            # trimmed-min (second-lowest per level): robust to the one
+            # outlier-FAST sample that swings the min-pair, WITHOUT the
+            # median's structural low bias — hypervisor noise here is
+            # one-sided additive contention and hits the high level
+            # ~5x harder (hi spreads 1.7x vs lo's 1.1x), so the hi
+            # median carries typical contention while min/min2
+            # approximate the quiet capability at both levels alike
+            lo2 = sorted(samples[lo])[min(1, len(samples[lo]) - 1)]
+            hi2 = sorted(samples[hi])[min(1, len(samples[hi]) - 1)]
+            scaling["efficiency_min2"] = round(lo2 / ((hi / lo) * hi2), 3)
         else:
             scaling["efficiency"] = None
             scaling["error"] = "insufficient_samples"
