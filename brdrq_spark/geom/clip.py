@@ -122,6 +122,12 @@ def _intersection_ys(E: np.ndarray) -> np.ndarray:
 
 
 _SMALL_TRAP_VERTS = 16
+# packed two-field winding cumsum is exact while |partial sum| < 2^31;
+# the partial sum is bounded by the table length, so past this row count
+# the vectorized table falls back to two separate cumsums (ADVICE r7 —
+# unreachable at realistic memory sizes, but guarded like every other
+# fallback in this file). Module-level so tests can force the fallback.
+_PACK_MAX_ROWS = 1 << 30
 
 
 def _trap_table(a_rings: list[np.ndarray], b_rings: list[np.ndarray]):
@@ -371,18 +377,31 @@ def _trap_table_np(a_rings: list[np.ndarray], b_rings: list[np.ndarray]):
     # field, operand-b shifted past any possible |partial sum| (<= total
     # edges < 2^30), so the fields never interfere — exact int math,
     # identical to two separate cumsums
-    SHIFT = np.int64(1) << 32
-    dwc = np.where(te == 0, de, de * SHIFT)
-    wc = np.cumsum(dwc)
     new_grp = np.empty(total, dtype=bool)
     new_grp[0] = True
     new_grp[1:] = bs[1:] != bs[:-1]
     grp_id = np.cumsum(new_grp) - 1
-    rel = wc - (wc[new_grp] - dwc[new_grp])[grp_id]
-    # decompose: b = round(rel / 2^32) once |a| < 2^31 (nearest multiple)
-    relb = (rel + (SHIFT >> 1)) >> 32
-    ins_b = relb != 0
-    ins_a = (rel - relb * SHIFT) != 0
+    if total < _PACK_MAX_ROWS:
+        SHIFT = np.int64(1) << 32
+        dwc = np.where(te == 0, de, de * SHIFT)
+        wc = np.cumsum(dwc)
+        rel = wc - (wc[new_grp] - dwc[new_grp])[grp_id]
+        # decompose: b = round(rel / 2^32) once |a| < 2^31 (nearest multiple)
+        relb = (rel + (SHIFT >> 1)) >> 32
+        ins_b = relb != 0
+        ins_a = (rel - relb * SHIFT) != 0
+    else:
+        # explicit guard (ADVICE r7): |partial winding sum| is bounded by
+        # the table length, so past 2^30 entries the packed low field
+        # could bleed into the high one — fall back to two separate
+        # cumsums, matching the fallback discipline of _beam_sort and the
+        # weld/chain span checks (unreachable at realistic memory sizes)
+        da = np.where(te == 0, de, np.int64(0))
+        db = np.where(te == 0, np.int64(0), de)
+        wa = np.cumsum(da)
+        wb = np.cumsum(db)
+        ins_a = (wa - (wa[new_grp] - da[new_grp])[grp_id]) != 0
+        ins_b = (wb - (wb[new_grp] - db[new_grp])[grp_id]) != 0
     grp_end = np.empty(total, dtype=bool)
     grp_end[:-1] = new_grp[1:]
     grp_end[-1] = True

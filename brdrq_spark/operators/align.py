@@ -193,11 +193,23 @@ ALIGN_SCHEMA = T.StructType(
 )
 
 
-def inradius(rings, nseg: int = 6, iters: int = 9) -> float:
+def inradius(rings, nseg: int = 6, iters: int = 9, halves=None) -> float:
     """Largest d with nonempty erosion (the piece's inradius), by
     bisection — erosion-emptiness is monotone in d, so a rd-grid sweep
     needs only this one number per piece instead of an erosion test per
-    (piece, rd) pair. Resolution: upper_bound / 2^iters."""
+    (piece, rd) pair. Resolution: upper_bound / 2^iters.
+
+    ``halves``: sorted array of the ONLY values the result is ever
+    compared against (the sweep's rd/2 grid). The comparisons are
+    ``r <= half``; the full bisection's result r lies in the current
+    bracket [lo, hi), so once no grid half falls in [lo, hi) every
+    comparison is already determined — half >= hi gives True (r < hi),
+    half < lo gives False (r >= lo) — and returning ``hi`` as the
+    threshold reproduces the full run's decisions EXACTLY while
+    skipping the remaining near-threshold erosion probes (the ones the
+    analytic certificates can never decide — measured 2805/2808 probes
+    built an exact scanbeam table). Bit-identical by construction; the
+    probes that still run are the same prefix the full bisection runs."""
     if not rings:
         return 0.0
     a = rings_area(rings)
@@ -209,6 +221,10 @@ def inradius(rings, nseg: int = 6, iters: int = 9) -> float:
         return 0.0
     lo = 0.0
     for _ in range(iters):
+        if halves is not None:
+            i = int(np.searchsorted(halves, lo, side="left"))
+            if i >= len(halves) or halves[i] >= hi:
+                return hi  # no grid half in [lo, hi): decisions settled
         mid = 0.5 * (lo + hi)
         if erode_nonempty(rings, mid, nseg):
             lo = mid
@@ -218,12 +234,15 @@ def inradius(rings, nseg: int = 6, iters: int = 9) -> float:
 
 
 def _precompute_pairs(
-    theme_rings, ref_ring_sets, cfg: AlignConfig, with_inradius: bool = True
+    theme_rings, ref_ring_sets, cfg: AlignConfig, with_inradius: bool = True,
+    halves=None,
 ):
     """Per-candidate rd-independent facts: intersection, uncovered part,
     overlap %, and (for grid sweeps) the two inradii driving the branch
     decisions. Single-rd calls skip the inradius bisection — a direct
-    erosion test at that rd is cheaper."""
+    erosion test at that rd is cheaper. ``halves`` (the sorted rd/2
+    grid) lets the bisection stop early once its bracket contains no
+    grid half (see ``inradius``)."""
     from brdrq_spark.geom.clip import boolean_op_multi
 
     pre = []
@@ -247,8 +266,8 @@ def _precompute_pairs(
             "r_inter": None,
         }
         if with_inradius:
-            p["r_uncov"] = inradius(uncov, cfg.nseg)
-            p["r_inter"] = inradius(inter, cfg.nseg)
+            p["r_uncov"] = inradius(uncov, cfg.nseg, halves=halves)
+            p["r_inter"] = inradius(inter, cfg.nseg, halves=halves)
         pre.append(p)
     return pre
 
@@ -518,10 +537,12 @@ def _make_kernel(cfg: AlignConfig, res: int):
         )
         # hoisted across the rd grid: intersections, uncovered parts,
         # and (for sweeps) the per-piece inradii driving branch decisions
+        _halves = np.asarray(sorted(rd / 2.0 for rd in rds))
         pres = [
             _precompute_pairs(
                 p, ref_ring_sets, cfg,
                 with_inradius=len(rds) > 2,
+                halves=_halves,
             )
             for p in theme_parts
         ]

@@ -273,6 +273,11 @@ def knn_with_escalation(
     if materialize:
         acc = acc.persist(StorageLevel.MEMORY_AND_DISK)
         acc.count()  # fill the consolidated cache, then release the rings
+        # zero-escalation case: acc IS pinned[0] (persist on an already-
+        # persisted DF is a no-op returning the same DataFrame), so
+        # unpersisting it would release the cache we just handed to the
+        # caller and every caller action would recompute the kNN subtree
         for h in pinned:
-            h.unpersist()
+            if h is not acc:
+                h.unpersist()
     return acc

@@ -352,7 +352,12 @@ def write_geojson(
 # the writer pins that they agree — the index derivation prefix-reads
 # this from each written file, so the layout is part of the on-disk
 # format, not an accident of json.dumps defaults.
-_HEADER_READ = 256  # bytes; header is ~80 chars, margin for long counts
+# bytes; header is ~80 chars, margin for long counts. Read via
+# InputStream.readNBytes(int), which exists on Java 9+ only — fine for
+# Spark 4.x (Java 17+ floor) and this repo's runtime; a Java 8 / Spark
+# 3.x deployment would need the index-derivation read replaced with a
+# Hadoop IOUtils.readFully loop into a py4j-allocated byte[] (ADVICE r7).
+_HEADER_READ = 256
 _PART_HEADER_RE = re.compile(
     r'^\{"type": "FeatureCollection", "part_id": "([^"]+)", "n_features": (\d+)\}'
 )
@@ -461,7 +466,9 @@ def write_geojson_parts(
         ins = fs.open(st.getPath())
         try:
             # readNBytes RETURNS the byte[] (py4j → bytes); an in/out
-            # buffer argument would not round-trip through py4j
+            # buffer argument would not round-trip through py4j.
+            # Java 9+ API — see the _HEADER_READ note for the (unneeded
+            # on Spark 4's Java 17 floor) Java 8 alternative
             buf = ins.readNBytes(_HEADER_READ)
         finally:
             ins.close()

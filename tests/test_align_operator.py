@@ -302,3 +302,46 @@ def test_crs_guards(spark):
     )
     b = bbox_with_margin(df)  # combined (0,-10,30,20) + 10% of (30,30)
     assert b == (-3.0, -13.0, 33.0, 23.0)
+
+
+def test_inradius_early_stop_decision_equivalence():
+    """The halves-aware bisection (round-8 sweep optimization) must
+    reproduce the FULL bisection's decisions exactly: the returned
+    threshold is only ever compared as ``thr <= half`` against the grid
+    halves, so for every grid half the early-stopped and full runs must
+    agree — across jittered real-workload pieces AND the rd=0 edge
+    (half=0 stays undetermined until the bracket's lo moves off 0)."""
+    from brdrq_spark.geom import bbox as gbbox, bbox_distance
+    from brdrq_spark.geom.clip import boolean_op_multi
+    from brdrq_spark.operators.align import distance_grid, inradius
+
+    ref = reference_parcels(16, 16, seed=5)
+    th = thematic_polygons(24, 16, 16, seed=5, jitter=1.0)
+    refsets = [rings_from_wkb(w) for w in ref.geom_wkb]
+    refboxes = [gbbox(r) for r in refsets]
+
+    for step in (0.1, 0.5):
+        halves = np.asarray(
+            sorted(rd / 2.0 for rd in distance_grid(5.0, step))
+        )
+        checked = 0
+        for k in range(len(th)):
+            trings = rings_from_wkb(th.geom_wkb.iloc[k])
+            tb = gbbox(trings)
+            for refs, bb in zip(refsets, refboxes):
+                if bbox_distance(tb, bb) > 4.0:
+                    continue
+                inter, uncov = boolean_op_multi(
+                    trings, refs, ("intersection", "rdifference")
+                )
+                for piece in (inter, uncov):
+                    if not piece:
+                        continue
+                    full = inradius(piece, 8)
+                    fast = inradius(piece, 8, halves=halves)
+                    for h in halves:
+                        assert (full <= h) == (fast <= h), (
+                            f"step={step} half={h}: full={full} fast={fast}"
+                        )
+                    checked += 1
+        assert checked > 40  # the fixture really exercised the path

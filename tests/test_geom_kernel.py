@@ -439,3 +439,28 @@ def test_rings_from_wkb_batch_equivalence():
         assert len(got[k]) == len(exp), k
         for g, e in zip(got[k], exp):
             assert g.shape == e.shape and (g == e).all(), k
+
+
+def test_winding_cumsum_fallback_identical(monkeypatch):
+    """The >=2^30-row guard (ADVICE r7) routes the packed two-field
+    winding cumsum to two separate cumsums; forcing that fallback must
+    leave every boolean op bit-identical."""
+    from brdrq_spark.geom import clip as C
+
+    rings_a = [
+        np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]]),
+        np.array([[2.0, 2.0], [2.0, 8.0], [8.0, 8.0], [8.0, 2.0]]),  # hole
+    ]
+    rings_b = [np.array([[5.0, -3.0], [14.0, 1.5], [9.0, 12.0], [4.0, 6.0]])]
+    # force the vectorized table (scalar small path bypasses the cumsum)
+    monkeypatch.setattr(C, "_SMALL_TRAP_VERTS", 0)
+    base = {
+        op: C.boolean_op(rings_a, rings_b, op)
+        for op in ("union", "intersection", "difference", "symdiff")
+    }
+    monkeypatch.setattr(C, "_PACK_MAX_ROWS", 0)  # force the fallback
+    for op, want in base.items():
+        got = C.boolean_op(rings_a, rings_b, op)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert np.array_equal(g, w), op

@@ -197,3 +197,19 @@ def test_knn_escalation_cache_contract(spark):
     key = lambda r: (r.theme_id, r.vertex_idx, r.rank, r.ref_id, r.seg_idx)
     assert sorted(map(key, out.collect())) == sorted(map(key, lazy.collect()))
     out.unpersist()
+
+    # no-escalation case (ADVICE r7): the first search covers every
+    # vertex, so acc IS the base DataFrame — materialize=True must not
+    # unpersist the handle it returns (the returned DF stays cached and
+    # exactly one persisted DataFrame remains)
+    before = jsc.getPersistentRDDs().size()
+    out1 = knn_with_escalation(
+        spark, th_df, ref_df, k=2, search_radius=48.0, max_radius=96.0,
+        growth=2.0, materialize=True,
+    )
+    after1 = jsc.getPersistentRDDs().size()
+    assert after1 - before == 1
+    assert out1.storageLevel.useMemory  # returned handle still cached
+    n1 = out1.count()
+    assert n1 == out1.count() > 0
+    out1.unpersist()
