@@ -736,20 +736,36 @@ def align_candidate_rows(
         inline_budget=int(cfg.max_inline_wkb_bytes),
         outer=True,
     )
-    ref_ver = (
-        F.col(cfg.ref_version_col).cast("string")
-        if cfg.ref_version_col in ref_df.columns
-        else F.lit(None).cast("string")
-    ).alias("ref_version")
-    r_cells = cells_exploded(
-        ref_df.select("ref_id", "geom_wkb", ref_ver),
-        "ref_id",
-        res,
-        0.0,
-        "r",
-        wkb_out="ref_wkb",
-        extra_cols=["ref_version"],
-    )
+    # ref_id / ref_version are consumed by the kernel ONLY for SOSA
+    # lineage emission (cfg.emit_metadata); without it they would ride
+    # every exploded cell row AND the kernel repartition for nothing —
+    # project them out of the plan entirely (guide: shuffle fewer
+    # bytes), and the kernel's has_ids branch dedups by WKB bytes with
+    # the identical first-occurrence order either way.
+    if cfg.emit_metadata:
+        ref_ver = (
+            F.col(cfg.ref_version_col).cast("string")
+            if cfg.ref_version_col in ref_df.columns
+            else F.lit(None).cast("string")
+        ).alias("ref_version")
+        r_cells = cells_exploded(
+            ref_df.select("ref_id", "geom_wkb", ref_ver),
+            "ref_id",
+            res,
+            0.0,
+            "r",
+            wkb_out="ref_wkb",
+            extra_cols=["ref_version"],
+        )
+    else:
+        r_cells = cells_exploded(
+            ref_df.select("ref_id", "geom_wkb"),
+            "ref_id",
+            res,
+            0.0,
+            "r",
+            wkb_out="ref_wkb",
+        )
     join_keys = ["cell"]
     if cfg.salt > 0 and not broadcast_ref:
         t_cells = t_cells.withColumn(
@@ -787,12 +803,22 @@ def align_candidate_rows(
         if cfg.step_col is not None and cfg.step_col in theme_df.columns
         else F.lit(None).cast("double")
     ).alias("theme_step")
+    id_cols = (
+        [F.col("ref_id"), F.col("ref_version")] if cfg.emit_metadata else []
+    )
+    bare_id_cols = (
+        [
+            F.lit(None).cast("string").alias("ref_id"),
+            F.lit(None).cast("string").alias("ref_version"),
+        ]
+        if cfg.emit_metadata
+        else []
+    )
     cand = cand.select(
         "theme_id",
         "theme_wkb",
         "ref_wkb",
-        "ref_id",
-        "ref_version",
+        *id_cols,
         F.lit(None).cast("double").alias("theme_step"),
     )
     grouped = cand.unionByName(
@@ -800,8 +826,7 @@ def align_candidate_rows(
             "theme_id",
             F.col("geom_wkb").alias("theme_wkb"),
             F.lit(None).cast("binary").alias("ref_wkb"),
-            F.lit(None).cast("string").alias("ref_id"),
-            F.lit(None).cast("string").alias("ref_version"),
+            *bare_id_cols,
             step_expr,
         )
     )

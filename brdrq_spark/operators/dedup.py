@@ -135,17 +135,39 @@ def lsh_candidate_pairs(
         ).alias("band", "bucket"),
     )
     if max_bucket_size and max_bucket_size > 0:
-        from pyspark.sql import Window
-
-        # one exchange + one in-partition sort caps every bucket; split
-        # count-then-rank variants re-evaluate the banding expression per
-        # branch and measure 3-6x slower
-        wb = Window.partitionBy("band", "bucket").orderBy(id_col)
-        banded = (
-            banded.withColumn("_rn", F.row_number().over(wb))
-            .filter(F.col("_rn") <= max_bucket_size)
-            .drop("_rn")
+        # bucket-array pair generation: ONE aggregation computes every
+        # bucket's (sorted, capped) member list and pairs explode from
+        # the array — the previous left/right self-join re-evaluated the
+        # whole banding subtree (shingles -> explode -> 16-32 hashes ->
+        # groupBy-min -> banding -> window cap) once PER SIDE, because
+        # Catalyst does not dedupe common subtrees (plan audit r08: two
+        # identical 24-node pipelines under the join). Same kept set:
+        # array_sort + slice(1, cap) keeps the first `cap` ids in id
+        # order, exactly the row_number()-over-(orderBy id) cap it
+        # replaces; pairs (ids[i], ids[j]) with i<j are exactly the
+        # a < b join pairs. Per-bucket arrays are bounded by the cap
+        # (500 ids ~ 4 KB), so no task holds unbounded state at scale.
+        capped = F.slice(
+            F.array_sort(F.collect_list(F.col(id_col))), 1, max_bucket_size
         )
+        buckets = banded.groupBy("band", "bucket").agg(capped.alias("_ids"))
+        pair_structs = F.flatten(
+            F.transform(
+                F.col("_ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+        return (
+            buckets.select(F.explode(pair_structs).alias("_p"))
+            .select("_p.a", "_p.b")
+            .distinct()
+        )
+    # uncapped path: keep the streaming self-join — a degenerate bucket
+    # explodes quadratically either way, but the join never materializes
+    # one bucket's members in a single task's memory
     left = banded.select(F.col(id_col).alias("a"), "band", "bucket")
     right = banded.select(F.col(id_col).alias("b"), "band", "bucket")
     return (
