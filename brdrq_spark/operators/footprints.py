@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from brdrq_spark.geom import rings_area, rings_to_wkb
-from brdrq_spark.raster.footprint import extract_footprint
+from brdrq_spark.raster.footprint import footprint_from_pixels
 from brdrq_spark.raster.png import decode_image
 
 FOOTPRINT_SCHEMA = T.StructType(
@@ -48,8 +48,13 @@ def extract_footprints(images: DataFrame) -> DataFrame:
         for pdf in it:
             out = []
             for r in pdf.itertuples(index=False):
-                rings = extract_footprint(
-                    r.bytes, int(r.w), int(r.h), r.fmt, int(r.phash)
+                # decode ONCE per image: the footprint trace and the
+                # pixel-content hash consume the same decoded array
+                # (previously each ran its own decode_image — the
+                # decode is the operator's dominant per-row cost)
+                img = decode_image(r.bytes, int(r.w), int(r.h), r.fmt)
+                rings = footprint_from_pixels(
+                    img, int(r.w), int(r.h), int(r.phash)
                 )
                 out.append(
                     {
@@ -58,7 +63,7 @@ def extract_footprints(images: DataFrame) -> DataFrame:
                         "geom_wkb": rings_to_wkb(rings),
                         "fp_area": rings_area(rings),
                         "caption": r.caption,
-                        "pixel_sha": pixel_sha(r.bytes, int(r.w), int(r.h), r.fmt),
+                        "pixel_sha": hashlib.sha1(img.tobytes()).hexdigest(),
                     }
                 )
             yield pd.DataFrame(out, columns=[f.name for f in FOOTPRINT_SCHEMA.fields])

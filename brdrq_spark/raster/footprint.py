@@ -80,4 +80,13 @@ def extract_footprint(
 ) -> list[np.ndarray]:
     """decode → threshold → outline → CRS placement. Returns a RingSet."""
     img = decode_image(data, w, h, fmt)
+    return footprint_from_pixels(img, w, h, phash, threshold)
+
+
+def footprint_from_pixels(
+    img: np.ndarray, w: int, h: int, phash: int, threshold: int = 128
+) -> list[np.ndarray]:
+    """The post-decode half of ``extract_footprint``: callers that also
+    need the raw pixels (e.g. the pixel-content hash) decode ONCE and
+    feed both consumers instead of paying the image decode twice."""
     return place_rings(mask_to_rings(img >= threshold), phash, w, h)
